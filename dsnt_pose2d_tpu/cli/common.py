@@ -1,0 +1,113 @@
+"""Shared CLI plumbing: argparse surface mirroring the reference flags."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from ..data import ArrayDataset, MPIIDataset, ShardedLoader, make_synthetic_mpii
+from ..utils.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("model")
+    g.add_argument("--base-model", default="hg1",
+                   help="hg{1,2,4,8} | resnet{18,34,50,101}")
+    g.add_argument("--dilate", type=int, default=0)
+    g.add_argument("--truncate", type=int, default=0)
+    g.add_argument("--output-strat", default="dsnt",
+                   choices=["dsnt", "gauss", "fc"])
+    g.add_argument("--preact", default="softmax",
+                   choices=["softmax", "thresholded_softmax", "relu", "abs",
+                            "sigmoid"])
+    g.add_argument("--reg", default="none",
+                   choices=["none", "var", "kl", "js", "mse"])
+    g.add_argument("--reg-coeff", type=float, default=1.0)
+    g.add_argument("--hm-sigma", type=float, default=1.0)
+    g.add_argument("--no-pallas", action="store_true",
+                   help="disable the fused Pallas DSNT head")
+    g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g.add_argument("--hg-features", type=int, default=256)
+    g.add_argument("--input-size", type=int, default=0)
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("data")
+    g.add_argument("--data-dir", default="data/mpii")
+    g.add_argument("--data-source", default="auto",
+                   choices=["auto", "h5", "synthetic"])
+    g.add_argument("--synthetic-size", type=int, default=256)
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("train")
+    g.add_argument("--batch-size", type=int, default=32)
+    g.add_argument("--epochs", type=int, default=120)
+    g.add_argument("--lr", type=float, default=2.5e-4)
+    g.add_argument("--optimizer", default="rmsprop",
+                   choices=["rmsprop", "adam", "sgd"])
+    g.add_argument("--schedule", default="step",
+                   choices=["step", "constant", "cosine"])
+    g.add_argument("--seed", type=int, default=12345)
+    g.add_argument("--out-dir", default="out")
+    g.add_argument("--experiment-id", default="")
+    g.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in out-dir")
+
+
+def config_from_args(args) -> Config:
+    model = ModelConfig(
+        base=args.base_model, dilate=args.dilate, truncate=args.truncate,
+        output_strat=args.output_strat, preact=args.preact, reg=args.reg,
+        reg_coeff=args.reg_coeff, hm_sigma=args.hm_sigma,
+        use_pallas=not args.no_pallas, dtype=args.dtype,
+        hg_features=args.hg_features, input_size=args.input_size)
+    data = DataConfig(
+        data_dir=args.data_dir, source=args.data_source,
+        synthetic_size=args.synthetic_size)
+    optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,
+                        schedule=getattr(args, "schedule", "step"))
+    train = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
+        out_dir=args.out_dir, experiment_id=args.experiment_id)
+    return Config(model=model, optim=optim, data=data, train=train)
+
+
+def experiment_dir(cfg: Config) -> str:
+    exp = cfg.train.experiment_id
+    if not exp:
+        import time
+
+        exp = time.strftime("%Y%m%d-%H%M%S")
+    return os.path.join(cfg.train.out_dir, exp)
+
+
+def make_datasets(cfg: Config):
+    """Return (train_ds, val_ds) from config: real MPII or synthetic."""
+    src = cfg.data.source
+    if src == "auto":
+        has_mpii = any(
+            os.path.exists(os.path.join(cfg.data.data_dir, p))
+            for p in ("annot", "annot.h5", "train.h5"))
+        src = "h5" if has_mpii else "synthetic"
+    if src == "h5":
+        return (MPIIDataset(cfg.data.data_dir, "train"),
+                MPIIDataset(cfg.data.data_dir, "val"))
+    n = cfg.data.synthetic_size
+    return (ArrayDataset(make_synthetic_mpii(n, canvas_size=96, seed=1)),
+            ArrayDataset(make_synthetic_mpii(max(n // 4, 8), canvas_size=96,
+                                             seed=2)))
+
+
+def make_loaders(cfg: Config, train_ds, val_ds):
+    import jax
+
+    nh, hid = jax.process_count(), jax.process_index()
+    train_loader = ShardedLoader(
+        train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
+        num_hosts=nh, host_id=hid)
+    val_loader = ShardedLoader(
+        val_ds, cfg.train.batch_size, shuffle=False, num_hosts=nh,
+        host_id=hid, drop_last=False)
+    return train_loader, val_loader

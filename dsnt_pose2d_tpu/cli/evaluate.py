@@ -1,0 +1,64 @@
+"""Evaluate CLI (reference ``evaluate.py`` surface, SURVEY.md C16):
+load a checkpoint, run the validation split, print the PCKh@0.5 table."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..models.factory import build_pose_model
+from ..parallel.mesh import initialize_distributed, make_mesh
+from ..train.checkpoint import CheckpointManager
+from ..train.loop import Trainer
+from .common import add_data_args, make_datasets, make_loaders
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dsnt-pose2d-tpu evaluate")
+    p.add_argument("--model-dir", required=True,
+                   help="experiment dir containing config.json + ckpt/")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="checkpoint epoch (default: best if recorded, else latest)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="override eval batch size")
+    add_data_args(p)
+    args = p.parse_args(argv)
+
+    initialize_distributed()
+    ckpt = CheckpointManager(args.model_dir)
+    cfg = ckpt.load_config()
+    if cfg is None:
+        raise SystemExit(f"no config.json in {args.model_dir}")
+    if args.data_dir != p.get_default("data_dir") or args.data_source != "auto":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, data_dir=args.data_dir, source=args.data_source))
+    if args.batch_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh()
+    _, val_ds = make_datasets(cfg)
+    _, val_loader = make_loaders(cfg, val_ds, val_ds)
+
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=val_loader, val_loader=val_loader)
+    template = trainer.init_state()
+    epoch = args.epoch if args.epoch is not None else ckpt.best_epoch()
+    state, meta = ckpt.restore(template, epoch=epoch)
+    if state is None:
+        raise SystemExit("no checkpoint found")
+    result = trainer.evaluate(state)
+    print(result["evaluator"].table())
+    print(f"val loss {result['loss']:.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

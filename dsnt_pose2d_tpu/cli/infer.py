@@ -1,0 +1,64 @@
+"""Infer CLI (reference ``infer.py`` surface, SURVEY.md C17):
+load a checkpoint, run a subset, dump predicted coordinates in
+ORIGINAL-image space to an HDF5 file (layout consumed by the external
+``eval-mpii-pose`` MATLAB harness: dataset ``preds`` of shape (N, 16, 2))."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ..models.factory import build_pose_model
+from ..parallel.mesh import initialize_distributed, make_mesh, shard_batch
+from ..train.checkpoint import CheckpointManager
+from ..train.loop import Trainer
+from .common import add_data_args, make_datasets, make_loaders
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dsnt-pose2d-tpu infer")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--subset", default="val", choices=["train", "val", "test"])
+    p.add_argument("--preds-file", default="preds.h5")
+    add_data_args(p)
+    args = p.parse_args(argv)
+
+    initialize_distributed()
+    ckpt = CheckpointManager(args.model_dir)
+    cfg = ckpt.load_config()
+    if cfg is None:
+        raise SystemExit(f"no config.json in {args.model_dir}")
+
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh()
+    train_ds, val_ds = make_datasets(cfg)
+    ds = val_ds if args.subset != "train" else train_ds
+    _, loader = make_loaders(cfg, ds, ds)
+
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=loader, val_loader=loader)
+    template = trainer.init_state()
+    epoch = args.epoch if args.epoch is not None else ckpt.best_epoch()
+    state, _ = ckpt.restore(template, epoch=epoch)
+    if state is None:
+        raise SystemExit("no checkpoint found")
+
+    preds = []
+    for batch in loader.epoch(0):
+        out = trainer.eval_step(state, shard_batch(mesh, batch))
+        preds.append(np.asarray(jax.device_get(out["pred_orig"])))
+    preds = np.concatenate(preds)[:len(ds)]
+
+    import h5py
+
+    with h5py.File(args.preds_file, "w") as f:
+        f.create_dataset("preds", data=preds)
+    print(f"wrote {preds.shape} predictions to {args.preds_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

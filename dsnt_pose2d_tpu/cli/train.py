@@ -1,0 +1,71 @@
+"""Train CLI (reference ``train.py`` surface, SURVEY.md C15).
+
+Example (BASELINE config #3, flagship):
+
+    python -m dsnt_pose2d_tpu.cli.train --base-model hg8 --output-strat dsnt \
+        --reg js --reg-coeff 1.0 --hm-sigma 1.0 --batch-size 32 --epochs 120
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..models.factory import build_pose_model
+from ..parallel.mesh import initialize_distributed, make_mesh
+from ..train.checkpoint import CheckpointManager
+from ..train.loop import Trainer
+from ..train.metrics import MetricWriter
+from .common import (
+    add_data_args,
+    add_model_args,
+    add_train_args,
+    config_from_args,
+    experiment_dir,
+    make_datasets,
+    make_loaders,
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dsnt-pose2d-tpu train")
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    args = p.parse_args(argv)
+
+    initialize_distributed()
+    cfg = config_from_args(args)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh()
+    out_dir = experiment_dir(cfg)
+
+    train_ds, val_ds = make_datasets(cfg)
+    train_loader, val_loader = make_loaders(cfg, train_ds, val_ds)
+
+    ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
+    writer = MetricWriter(out_dir, echo=jax.process_index() == 0)
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=train_loader, val_loader=val_loader,
+                      checkpointer=ckpt, metric_writer=writer)
+
+    state = None
+    start_epoch = 0
+    if args.resume:
+        template = trainer.init_state()
+        restored, meta = ckpt.restore(template)
+        if restored is not None:
+            state = restored
+            start_epoch = int(meta["epoch"]) + 1
+            print(f"resumed from epoch {meta['epoch']}")
+
+    state, best = trainer.run(state, start_epoch=start_epoch)
+    print(f"done; best val PCKh@0.5 = {100 * best:.2f}")
+    writer.close()
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,151 @@
+"""Fused on-device preprocessing graph (the BASELINE.json north star).
+
+TPU-native replacement for the reference's CPU DataLoader-worker augmentation
+(``dsnt/data.py``; SURVEY.md C11): instead of PIL warps in forked worker
+processes, the host only supplies a fixed-size decoded *canvas* per sample
+(the person region resized to a static shape) and everything else runs as one
+jitted graph on device:
+
+    canvas (B, C, C, 3) uint8/float
+      -> single composed affine (crop * rotate * scale * flip) bilinear warp
+      -> per-channel color jitter
+      -> mean/std normalize
+    coords: same affine + flip joint-swap -> normalized (-1, 1)
+
+Augmentation parameters are sampled from a jax PRNG key per batch, so the
+whole pipeline is deterministic given (key, data) and replays exactly on
+resume.  Train-time parameters (reference values): rotation U(-30, 30) deg,
+scale U(0.75, 1.25), flip p=0.5, color jitter; eval-time: identity (the
+deterministic center-crop path, where the warp matches a CPU reference
+bilinear resample — the inference-parity boundary per SURVEY.md "Hard parts"
+item 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import DataConfig
+from . import transforms as T
+
+
+def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
+                         out_size: int) -> jnp.ndarray:
+    """Warp one image (H, W, C) with the affine mapping OUTPUT px -> INPUT px.
+
+    Bilinear sampling at pixel centers; out-of-bounds reads return 0 (black
+    fill, PIL-rotate behavior).  The gather is expressed as a flat take so XLA
+    lowers it to one fused gather kernel.
+    """
+    h, w, c = image.shape
+    image = image.astype(jnp.float32)
+    ys = jnp.arange(out_size, dtype=jnp.float32)
+    xs = jnp.arange(out_size, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                      # (S, S)
+    pts = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)  # (S*S, 2) output px
+    src = T.transform_coords(m_out_to_in, pts)         # (S*S, 2) input px
+
+    x, y = src[:, 0], src[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    def sample(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        vals = image.reshape(h * w, c)[yi * w + xi]
+        return jnp.where(inb[:, None], vals, 0.0)
+
+    v00 = sample(x0i, y0i)
+    v01 = sample(x0i + 1, y0i)
+    v10 = sample(x0i, y0i + 1)
+    v11 = sample(x0i + 1, y0i + 1)
+    top = v00 * (1 - fx[:, None]) + v01 * fx[:, None]
+    bot = v10 * (1 - fx[:, None]) + v11 * fx[:, None]
+    out = top * (1 - fy[:, None]) + bot * fy[:, None]
+    return out.reshape(out_size, out_size, c)
+
+
+@partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
+def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
+                     canvas_from_orig, cfg: DataConfig, out_size: int,
+                     train: bool):
+    """The fused preprocessing graph.
+
+    Args:
+        key: PRNG key for this batch's augmentation draws.
+        canvas: (B, C, C, 3) float32 in [0, 1] (or uint8) person canvases.
+        coords_px: (B, J, 2) joint coords in CANVAS pixels.
+        mask: (B, J) visibility.
+        head_len_px: (B,) PCKh head length in ORIGINAL-image pixels.
+        canvas_from_orig: (B, 3, 3) affine original px -> canvas px.
+        cfg: augmentation config (static).
+        out_size: model input size (static).
+        train: sample augmentations vs deterministic center crop (static).
+
+    Returns dict with normalized ``images`` (B, S, S, 3), ``coords`` (B, J, 2)
+    in (-1, 1), ``mask``, ``head_length``, and ``crop_from_orig`` (B, 3, 3)
+    mapping original px -> crop px (for PCKh untransform).
+    """
+    b, c_size, _, _ = canvas.shape
+    j = coords_px.shape[1]
+    if canvas.dtype == jnp.uint8:
+        canvas = canvas.astype(jnp.float32) / 255.0
+    else:
+        canvas = canvas.astype(jnp.float32)
+
+    k_rot, k_scale, k_flip, k_jit = jax.random.split(key, 4)
+    if train:
+        rot = jax.random.uniform(
+            k_rot, (b,), minval=-cfg.max_rotation_deg, maxval=cfg.max_rotation_deg
+        ) * (jnp.pi / 180.0)
+        scale = jax.random.uniform(
+            k_scale, (b,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+        flip = jax.random.bernoulli(k_flip, cfg.flip_prob, (b,))
+    else:
+        rot = jnp.zeros((b,))
+        scale = jnp.ones((b,))
+        flip = jnp.zeros((b,), jnp.bool_)
+
+    # Canvas -> crop affine: the canvas is itself a person-centric square, so
+    # the crop maps its full extent to out_size, with rotation/scale about its
+    # center and optional mirror.  (Canvas "scale" in crop_transform units:
+    # the canvas side corresponds to the scale*200 box by construction.)
+    center = jnp.full((b, 2), (c_size - 1) / 2.0)
+    m_crop_from_canvas = T.crop_transform(
+        center, jnp.full((b,), c_size / T.MPII_SCALE_BOX_PX), out_size,
+        rot_rad=rot, scale_aug=scale, flip=flip)
+
+    warped = jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(
+        canvas, jnp.linalg.inv(m_crop_from_canvas), out_size)
+
+    if train and cfg.color_jitter > 0:
+        jit_scale = jax.random.uniform(
+            k_jit, (b, 1, 1, 3), minval=1.0 - cfg.color_jitter,
+            maxval=1.0 + cfg.color_jitter)
+        warped = jnp.clip(warped * jit_scale, 0.0, 1.0)
+
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    images = (warped - mean) / std
+
+    # Joint coordinates through the same affine (+ L/R swap under flip).
+    coords_crop = T.transform_coords(m_crop_from_canvas, coords_px)
+    perm = T.flip_permutation(j)
+    coords_crop = jnp.where(flip[:, None, None], coords_crop[:, perm], coords_crop)
+    mask = jnp.where(flip[:, None], mask[:, perm], mask)
+    coords_norm = (2.0 * coords_crop + 1.0) / out_size - 1.0
+
+    crop_from_orig = m_crop_from_canvas @ canvas_from_orig
+    return {
+        "images": images,
+        "coords": coords_norm,
+        "mask": mask.astype(jnp.float32),
+        "head_length": head_len_px,
+        "crop_from_orig": crop_from_orig,
+    }

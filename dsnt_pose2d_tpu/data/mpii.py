@@ -1,0 +1,136 @@
+"""MPII dataset: annotations + images -> fixed-shape host canvases.
+
+Reference: ``MPIIDataset`` in ``dsnt/data.py`` (SURVEY.md C10) — HDF5
+annotations in the stacked-hourglass/Tompson train/val split (per sample:
+image name, person center, scale, 16 joint (x, y), visibility, head length)
+plus JPEG images.  TPU-first redesign: the host does only decode + one
+fixed-size person-region resize (the *canvas*); every augmentation and
+normalization step runs on device (:mod:`dsnt_pose2d_tpu.data.augment`).
+
+Canvas construction: a square of side ``canvas_margin * scale * 200`` px
+around the person center is resampled to ``canvas_size`` px.  The margin
+leaves headroom so train-time rotation/zoom-out never reads outside the
+canvas.  The affine ``canvas_from_orig`` is recorded per sample so
+predictions map back to original-image pixels exactly.
+
+Annotation layout accepted (``annot/<split>.h5`` or a single ``annot.h5``
+with per-split groups): datasets ``imgname`` (bytes), ``center`` (N, 2),
+``scale`` (N,), ``part`` (N, 16, 2), ``visible`` (N, 16), ``normalize``
+(N,) — the layout published with the stacked-hourglass lineage tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .transforms import MPII_SCALE_BOX_PX
+
+TRAIN, VAL, TEST = "train", "val", "test"
+
+
+@dataclass
+class MPIIAnnotations:
+    imgnames: list[str]
+    centers: np.ndarray      # (N, 2)
+    scales: np.ndarray       # (N,)
+    parts: np.ndarray        # (N, 16, 2) original-image px, (x, y)
+    visible: np.ndarray      # (N, 16)
+    head_lengths: np.ndarray  # (N,)
+
+    def __len__(self):
+        return len(self.imgnames)
+
+
+def load_annotations(data_dir: str, subset: str) -> MPIIAnnotations:
+    import h5py
+
+    candidates = [
+        os.path.join(data_dir, "annot", f"{subset}.h5"),
+        os.path.join(data_dir, f"{subset}.h5"),
+        os.path.join(data_dir, "annot.h5"),
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        raise FileNotFoundError(
+            f"no MPII annotations for subset {subset!r} under {data_dir!r} "
+            f"(tried {candidates})")
+    with h5py.File(path, "r") as f:
+        g = f[subset] if subset in f else f
+        imgnames = [
+            n.decode() if isinstance(n, bytes) else str(n)
+            for n in np.asarray(g["imgname"])
+        ]
+        centers = np.asarray(g["center"], np.float32)
+        scales = np.asarray(g["scale"], np.float32).reshape(-1)
+        parts = np.asarray(g["part"], np.float32)
+        visible = np.asarray(g["visible"], np.float32) if "visible" in g else \
+            np.ones(parts.shape[:2], np.float32)
+        head = np.asarray(g["normalize"], np.float32).reshape(-1) if "normalize" in g \
+            else np.full((len(imgnames),), 60.0, np.float32)
+    return MPIIAnnotations(imgnames, centers, scales, parts, visible, head)
+
+
+class MPIIDataset:
+    """Host-side MPII sample producer (decode + canvas resize only).
+
+    ``__getitem__`` returns the canvas record consumed by
+    :func:`dsnt_pose2d_tpu.data.augment.preprocess_batch`.
+    """
+
+    def __init__(self, data_dir: str, subset: str = TRAIN,
+                 canvas_size: int = 384, canvas_margin: float = 1.5):
+        self.data_dir = data_dir
+        self.subset = subset
+        self.canvas_size = canvas_size
+        self.canvas_margin = canvas_margin
+        self.annot = load_annotations(data_dir, subset)
+        self.images_dir = os.path.join(data_dir, "images")
+
+    def __len__(self):
+        return len(self.annot)
+
+    def __getitem__(self, i: int) -> dict:
+        from PIL import Image
+
+        a = self.annot
+        img = Image.open(os.path.join(self.images_dir, a.imgnames[i])).convert("RGB")
+        cx, cy = a.centers[i]
+        box = float(a.scales[i]) * MPII_SCALE_BOX_PX * self.canvas_margin
+        half = box / 2.0
+        # Crop the (possibly out-of-bounds) square; PIL zero-pads.
+        left, top = int(round(cx - half)), int(round(cy - half))
+        side = int(round(box))
+        crop = img.crop((left, top, left + side, top + side))
+        crop = crop.resize((self.canvas_size, self.canvas_size), Image.BILINEAR)
+        canvas = np.asarray(crop, np.uint8)
+
+        s = self.canvas_size / side
+        canvas_from_orig = np.asarray(
+            [[s, 0, -left * s], [0, s, -top * s], [0, 0, 1]], np.float32)
+        parts_canvas = a.parts[i] * s + np.asarray([-left * s, -top * s], np.float32)
+        # Unannotated joints are stored as (0, 0) or negatives in the h5;
+        # their visibility flag already masks them.
+        return {
+            "canvases": canvas,
+            "coords_px": parts_canvas.astype(np.float32),
+            "mask": a.visible[i].astype(np.float32),
+            "head_length": np.float32(a.head_lengths[i]),
+            "canvas_from_orig": canvas_from_orig,
+        }
+
+
+class ArrayDataset:
+    """In-memory dict-of-arrays dataset (synthetic fixture or packed MPII)."""
+
+    def __init__(self, arrays: dict):
+        self.arrays = arrays
+        self._n = len(next(iter(arrays.values())))
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i: int) -> dict:
+        return {k: v[i] for k, v in self.arrays.items()}

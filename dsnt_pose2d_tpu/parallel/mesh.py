@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers: the framework's data-parallel backbone.
+
+The reference has NO distributed story (single ``.cuda()`` device; SURVEY.md
+section 2 "Parallelism inventory").  The TPU-native design makes data
+parallelism first-class and everything else a config-away extension:
+
+- a 1-D ``data`` mesh over all chips (ICI); gradients all-reduce implicitly
+  under ``jit`` via sharding propagation — no hand-written collectives;
+- batches are sharded along ``data``; params/opt-state are replicated;
+- multi-host: ``jax.distributed.initialize()`` + per-host input sharding
+  (:mod:`dsnt_pose2d_tpu.data.loader`) + ``jax.make_array_from_process_local_data``
+  to assemble the global batch from host-local shards;
+- a ``model`` axis placeholder exists in :func:`make_mesh` so tensor
+  parallelism can be added without breaking the mesh API (deliberately
+  unimplemented — the largest reference model, hg8 at ~26M params, fits
+  trivially per chip).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: int | None = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    """Build the (data[, model]) mesh over the given/available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict):
+    """Place a dict of host-global numpy arrays onto the mesh, batch-sharded.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process: each host
+    passes its LOCAL shard and the global array is assembled across hosts.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)
+
+
+def initialize_distributed():
+    """Multi-host bootstrap (no-op single-host); call before device queries."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-process / local run

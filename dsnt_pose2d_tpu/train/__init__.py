@@ -1,0 +1,20 @@
+"""Training: state, jitted step functions, epoch loop, checkpointing, metrics."""
+
+from .checkpoint import CheckpointManager, load_config_from_dir
+from .loop import Trainer, make_step_fns
+from .metrics import MeanMeter, MetricWriter, TimeMeter
+from .state import TrainState, create_train_state, make_lr_schedule, make_optimizer
+
+__all__ = [
+    "CheckpointManager",
+    "MeanMeter",
+    "MetricWriter",
+    "TimeMeter",
+    "Trainer",
+    "TrainState",
+    "create_train_state",
+    "load_config_from_dir",
+    "make_lr_schedule",
+    "make_optimizer",
+    "make_step_fns",
+]

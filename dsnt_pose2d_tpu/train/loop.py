@@ -1,0 +1,188 @@
+"""Jitted train/eval steps over the device mesh + the epoch-loop Trainer.
+
+TPU-native counterpart of the reference's ``train.py`` orchestration
+(SURVEY.md L5/section 3.1): one ``jit``-compiled train step — on-device
+augmentation, forward, intermediate-supervision loss, backward, RMSProp
+update — with the global batch sharded over the ``data`` mesh axis and
+parameters replicated.  Gradient all-reduce is emitted by XLA from sharding
+propagation (collectives ride ICI); batch-norm statistics are computed over
+the GLOBAL batch (an upgrade over per-device torch BN semantics, documented
+deviation).  The eval step additionally decodes coordinates, maps them back
+to original-image pixels through the inverse crop affine, and reduces PCKh
+counts on device.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.augment import preprocess_batch
+from ..data.transforms import transform_coords
+from ..evaluation.pckh import PCKhEvaluator, pckh_batch_counts
+from ..models.factory import PoseModel
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..utils.config import Config
+from .state import TrainState, create_train_state, make_optimizer
+
+
+def normalized_to_crop_px(coords_norm: jnp.ndarray, size: int) -> jnp.ndarray:
+    return ((coords_norm + 1.0) * size - 1.0) / 2.0
+
+
+def make_step_fns(model: PoseModel, cfg: Config, mesh,
+                  steps_per_epoch: int = 1):
+    """Build (train_step, eval_step), jitted with mesh shardings."""
+    tx = make_optimizer(cfg.optim, steps_per_epoch)
+    in_size = model.image_specs.size
+    data_cfg = cfg.data
+
+    def _preprocess(key, batch, train: bool):
+        return preprocess_batch(
+            key, batch["canvases"], batch["coords_px"], batch["mask"],
+            batch["head_length"], batch["canvas_from_orig"], data_cfg,
+            in_size, train)
+
+    def train_step(state: TrainState, batch):
+        aug_key = jax.random.fold_in(state.rng, state.step)
+        pre = _preprocess(aug_key, batch, True)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.module.apply(
+                variables, pre["images"], train=True, mutable=["batch_stats"])
+            loss, aux = model.loss(out, pre["coords"], pre["mask"])
+            return loss, (aux, mutated.get("batch_stats", {}))
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        for k in ("euclidean", "reg", "mse"):
+            if k in aux:
+                metrics[k] = aux[k]
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch):
+        pre = _preprocess(jax.random.PRNGKey(0), batch, False)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.module.apply(variables, pre["images"], train=False)
+        loss, _ = model.loss(out, pre["coords"], pre["mask"])
+        coords_norm = model.decode(out)
+
+        # Map predictions and ground truth to ORIGINAL-image pixels.
+        hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
+        orig_from_crop = jnp.linalg.inv(pre["crop_from_orig"])
+        pred_orig = transform_coords(orig_from_crop, hm_crop_px)
+        gt_crop_px = normalized_to_crop_px(pre["coords"], in_size)
+        gt_orig = transform_coords(orig_from_crop, gt_crop_px)
+
+        correct, total = pckh_batch_counts(
+            pred_orig, gt_orig, pre["mask"], pre["head_length"])
+        return {"loss": loss, "pckh_correct": correct, "pckh_total": total,
+                "pred_orig": pred_orig}
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    train_jit = jax.jit(train_step, in_shardings=(repl, bsh),
+                        out_shardings=repl,
+                        donate_argnums=(0,) if cfg.train.donate else ())
+    eval_jit = jax.jit(eval_step, in_shardings=(repl, bsh),
+                       out_shardings=repl)
+    return train_jit, eval_jit
+
+
+@dataclass
+class Trainer:
+    """Epoch-loop driver: train, periodic eval, checkpointing, metrics."""
+
+    model: PoseModel
+    cfg: Config
+    mesh: Any
+    train_loader: Any
+    val_loader: Any = None
+    checkpointer: Any = None          # train.checkpoint.CheckpointManager
+    metric_writer: Any = None         # train.metrics.MetricWriter
+    hooks: tuple = ()
+
+    def __post_init__(self):
+        self.train_step, self.eval_step = make_step_fns(
+            self.model, self.cfg, self.mesh,
+            max(self.train_loader.steps_per_epoch, 1))
+
+    def init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        state = create_train_state(
+            self.model, self.cfg.optim, rng,
+            batch_size=max(2, len(self.mesh.devices.flat)),
+            steps_per_epoch=max(self.train_loader.steps_per_epoch, 1))
+        return jax.device_put(state, replicated(self.mesh))
+
+    def run(self, state: TrainState | None = None, start_epoch: int = 0):
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        best_pckh = -1.0
+        for epoch in range(start_epoch, cfg.train.epochs):
+            t0 = time.time()
+            losses = []
+            for step, batch in enumerate(self.train_loader.epoch(epoch)):
+                state, metrics = self.train_step(state, shard_batch(self.mesh, batch))
+                losses.append(metrics["loss"])
+                if self.metric_writer and step % cfg.train.log_every_steps == 0:
+                    self.metric_writer.write(
+                        {"epoch": epoch, "step": int(jax.device_get(state.step)),
+                         **{k: float(jax.device_get(v)) for k, v in metrics.items()}})
+            epoch_time = time.time() - t0
+            train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
+
+            summary = {"epoch": epoch, "train_loss": train_loss,
+                       "epoch_seconds": epoch_time}
+            if self.val_loader is not None and \
+                    (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                val = self.evaluate(state)
+                summary.update({"val_loss": val["loss"],
+                                "val_pckh": val["pckh"]})
+                is_best = val["pckh"] > best_pckh
+                best_pckh = max(best_pckh, val["pckh"])
+            else:
+                is_best = False
+            if self.metric_writer:
+                self.metric_writer.write(summary)
+            if self.checkpointer and \
+                    (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+                self.checkpointer.save(epoch, state, is_best=is_best,
+                                       metrics=summary)
+            for hook in self.hooks:
+                hook(epoch, state, summary)
+        if self.checkpointer:
+            self.checkpointer.wait()
+        return state, best_pckh
+
+    def evaluate(self, state: TrainState) -> dict:
+        evaluator = PCKhEvaluator(self.model.cfg.num_joints)
+        losses = []
+        for batch in self.val_loader.epoch(0):
+            out = self.eval_step(state, shard_batch(self.mesh, batch))
+            evaluator.add_counts(jax.device_get(out["pckh_correct"]),
+                                 jax.device_get(out["pckh_total"]))
+            losses.append(float(jax.device_get(out["loss"])))
+        return {"loss": float(np.mean(losses)) if losses else float("nan"),
+                "pckh": evaluator.total_pckh(),
+                "evaluator": evaluator}

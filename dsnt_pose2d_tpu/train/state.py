@@ -1,0 +1,67 @@
+"""Train state + optimizer construction (optax)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.config import OptimConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
+    """Step-decay (reference: x0.1 at epochs ~60/90), or constant/cosine."""
+    if cfg.schedule == "constant":
+        return optax.constant_schedule(cfg.lr)
+    if cfg.schedule == "cosine":
+        total = max(steps_per_epoch, 1) * 200
+        return optax.cosine_decay_schedule(cfg.lr, total)
+    boundaries = {e * steps_per_epoch: cfg.lr_drop_factor for e in cfg.lr_drop_epochs}
+    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+
+def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1):
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.optimizer == "rmsprop":
+        # torch-RMSprop-compatible: alpha=decay, eps inside sqrt add.
+        tx = optax.rmsprop(sched, decay=cfg.rmsprop_decay, eps=cfg.eps,
+                           momentum=cfg.momentum if cfg.momentum else None)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(sched, eps=cfg.eps)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=cfg.momentum or None)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = []
+    if cfg.grad_clip_norm:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(tx)
+    return optax.chain(*chain) if len(chain) > 1 else tx
+
+
+def create_train_state(model, optim_cfg: OptimConfig, rng: jax.Array,
+                       batch_size: int = 1, steps_per_epoch: int = 1) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init_variables(init_rng, batch_size=batch_size)
+    tx = make_optimizer(optim_cfg, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=state_rng,
+    )

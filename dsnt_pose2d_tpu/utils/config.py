@@ -1,0 +1,164 @@
+"""Frozen dataclass configs: the experiment schema of the framework.
+
+Mirrors the reference's argparse flag surface (SURVEY.md section 5, "Config /
+flag system"): ``--base-model``, ``--dilate``, ``--truncate``,
+``--output-strat``, ``--preact``, ``--reg``, ``--reg-coeff``, ``--hm-sigma``,
+plus optimizer/schedule/batch/epochs/out-dir.  Configs serialize to JSON next
+to checkpoints so evaluate/infer can rebuild the exact model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+BASE_MODELS = (
+    "hg1", "hg2", "hg4", "hg8",
+    "resnet18", "resnet34", "resnet50", "resnet101",
+)
+OUTPUT_STRATS = ("dsnt", "gauss", "fc")
+PREACTS = ("softmax", "thresholded_softmax", "relu", "abs", "sigmoid")
+REGS = ("none", "var", "kl", "js", "mse")
+
+# MPII has 16 joints (SURVEY.md C10).
+MPII_NUM_JOINTS = 16
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model architecture + head configuration (reference model-factory args)."""
+
+    base: str = "hg1"
+    dilate: int = 0
+    truncate: int = 0
+    output_strat: str = "dsnt"
+    preact: str = "softmax"
+    reg: str = "none"
+    reg_coeff: float = 1.0
+    hm_sigma: float = 1.0
+    num_joints: int = MPII_NUM_JOINTS
+    # Per-stack loss reduction under intermediate supervision.  Sum is the
+    # hourglass-lineage default (SURVEY.md section 7 item 8).
+    stack_loss: str = "sum"
+    # Heatmap-matching ('gauss') target: peak-1 unnormalized Gaussian as in the
+    # Newell lineage (set True for a sum-to-1 target).
+    gauss_target_normalize: bool = False
+    # Use the fused Pallas DSNT-head kernel (ops/pallas) instead of the jnp
+    # composition.  Numerics agree to ~1e-6; jnp path is the oracle.
+    use_pallas: bool = True
+    # Backbone compute dtype; params stay fp32, head math always fp32.
+    dtype: str = "bfloat16"
+    # Architecture-scale knobs (reference values by default; shrink for CI).
+    hg_features: int = 256
+    hg_depth: int = 4
+    input_size: int = 0  # 0 = default for base (256 hg / 224 resnet)
+
+    def __post_init__(self):
+        if self.base not in BASE_MODELS and not self.base.startswith("hg"):
+            raise ValueError(f"unknown base model {self.base!r}")
+        if self.output_strat not in OUTPUT_STRATS:
+            raise ValueError(f"unknown output strategy {self.output_strat!r}")
+        if self.preact not in PREACTS:
+            raise ValueError(f"unknown preact {self.preact!r}")
+        if self.reg not in REGS:
+            raise ValueError(f"unknown regularizer {self.reg!r}")
+        if self.stack_loss not in ("sum", "mean"):
+            raise ValueError(f"stack_loss must be sum|mean, got {self.stack_loss!r}")
+
+    @property
+    def resolved_input_size(self) -> int:
+        if self.input_size:
+            return self.input_size
+        return 256 if self.base.startswith("hg") else 224
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedule (reference: RMSProp 2.5e-4, step decay x0.1)."""
+
+    optimizer: str = "rmsprop"
+    lr: float = 2.5e-4
+    rmsprop_decay: float = 0.99  # torch RMSprop alpha default
+    eps: float = 1e-8
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    schedule: str = "step"  # 'step' | 'constant' | 'cosine'
+    lr_drop_epochs: tuple[int, ...] = (60, 90)
+    lr_drop_factor: float = 0.1
+    grad_clip_norm: float = 0.0  # 0 = off
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "data/mpii"
+    source: str = "auto"  # 'auto' | 'h5' | 'synthetic'
+    # Augmentation (reference values, SURVEY.md C11).
+    max_rotation_deg: float = 30.0
+    scale_range: tuple[float, float] = (0.75, 1.25)
+    flip_prob: float = 0.5
+    color_jitter: float = 0.2  # per-channel scale in U(1-j, 1+j); 0 = off
+    # ImageNet normalization constants (torchvision-pretrained lineage).
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+    synthetic_size: int = 256  # samples in the synthetic fixture
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32  # global batch (sharded over the data mesh axis)
+    epochs: int = 120
+    seed: int = 12345
+    out_dir: str = "out"
+    experiment_id: str = ""  # '' = timestamp-derived
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 3
+    log_every_steps: int = 20
+    eval_every_epochs: int = 1
+    donate: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# (De)serialization
+# ---------------------------------------------------------------------------
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(_to_dict(cfg), indent=2, sort_keys=True)
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in ("model", "optim", "data", "train"):
+            sub = {"model": ModelConfig, "optim": OptimConfig,
+                   "data": DataConfig, "train": TrainConfig}[f.name]
+            kwargs[f.name] = _from_dict(sub, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def config_from_json(s: str) -> Config:
+    return _from_dict(Config, json.loads(s))

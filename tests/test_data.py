@@ -1,0 +1,196 @@
+"""Data pipeline tests: affine frames, on-device augmentation graph, loader
+sharding/determinism, synthetic fixture schema."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsnt_pose2d_tpu.data import (
+    ArrayDataset,
+    ShardedLoader,
+    crop_transform,
+    flip_permutation,
+    make_synthetic_mpii,
+    preprocess_batch,
+    transform_coords,
+)
+from dsnt_pose2d_tpu.data.augment import affine_warp_bilinear
+from dsnt_pose2d_tpu.utils.config import DataConfig
+
+CFG = DataConfig(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+
+
+class TestTransforms:
+    def test_crop_center_maps_to_crop_center(self):
+        m = crop_transform(jnp.asarray([100.0, 80.0]), 1.0, 64)
+        out = transform_coords(m, jnp.asarray([[100.0, 80.0]]))
+        np.testing.assert_allclose(out[0], [31.5, 31.5], atol=1e-4)
+
+    def test_box_corner_maps_to_crop_corner(self):
+        # Box side = scale*200 = 200px centered at (100, 80): left edge of the
+        # box (x = 0) lands at crop x = -0.18... Actually the box [0, 200)
+        # maps linearly onto [?, ?): check scale factor 64/200.
+        m = crop_transform(jnp.asarray([100.0, 80.0]), 1.0, 64)
+        p = transform_coords(m, jnp.asarray([[100.0 + 100.0, 80.0]]))
+        np.testing.assert_allclose(p[0, 0] - 31.5, 100.0 * 64 / 200.0, atol=1e-4)
+
+    def test_rotation_about_center(self):
+        m = crop_transform(jnp.asarray([50.0, 50.0]), 0.5, 64,
+                           rot_rad=jnp.pi / 2)
+        # Point right of center maps to below center (90 deg CCW in xy).
+        p = transform_coords(m, jnp.asarray([[60.0, 50.0]]))
+        center = jnp.asarray([31.5, 31.5])
+        d = p[0] - center
+        assert abs(float(d[0])) < 1e-3
+        assert float(d[1]) > 1.0
+
+    def test_flip_mirrors_x(self):
+        m = crop_transform(jnp.asarray([50.0, 50.0]), 0.5, 64, flip=True)
+        m0 = crop_transform(jnp.asarray([50.0, 50.0]), 0.5, 64, flip=False)
+        p = transform_coords(m, jnp.asarray([[60.0, 55.0]]))
+        p0 = transform_coords(m0, jnp.asarray([[60.0, 55.0]]))
+        np.testing.assert_allclose(p[0, 0], 63.0 - p0[0, 0], atol=1e-4)
+        np.testing.assert_allclose(p[0, 1], p0[0, 1], atol=1e-4)
+
+    def test_inverse_roundtrip(self):
+        m = crop_transform(jnp.asarray([77.0, 33.0]), 1.3, 64,
+                           rot_rad=0.3, scale_aug=1.1)
+        pts = jnp.asarray([[10.0, 20.0], [50.0, 60.0]])
+        back = transform_coords(jnp.linalg.inv(m), transform_coords(m, pts))
+        np.testing.assert_allclose(back, pts, atol=1e-3)
+
+    def test_flip_permutation_involution(self):
+        perm = np.asarray(flip_permutation(16))
+        np.testing.assert_array_equal(perm[perm], np.arange(16))
+        assert perm[0] == 5 and perm[12] == 13
+
+
+class TestWarp:
+    def test_identity_warp_preserves_image(self, rng):
+        img = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+        out = affine_warp_bilinear(img, jnp.eye(3), 16)
+        np.testing.assert_allclose(out, img, atol=1e-5)
+
+    def test_translation_shifts(self, rng):
+        img = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+        # Output px -> input px: shift +2 in x reads input x+2.
+        m = jnp.asarray([[1.0, 0, 2.0], [0, 1, 0], [0, 0, 1]])
+        out = affine_warp_bilinear(img, m, 16)
+        np.testing.assert_allclose(out[:, :14], img[:, 2:], atol=1e-5)
+
+    def test_out_of_bounds_is_zero(self):
+        img = jnp.ones((8, 8, 3), jnp.float32)
+        m = jnp.asarray([[1.0, 0, 100.0], [0, 1, 0], [0, 0, 1]])
+        out = affine_warp_bilinear(img, m, 8)
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+class TestPreprocess:
+    def _data(self, n=4, c=48):
+        d = make_synthetic_mpii(n, canvas_size=c, seed=1)
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    def test_eval_path_deterministic_and_shapes(self):
+        d = self._data()
+        key = jax.random.PRNGKey(0)
+        out1 = preprocess_batch(key, d["canvases"], d["coords_px"], d["mask"],
+                                d["head_length"], d["canvas_from_orig"], CFG,
+                                32, False)
+        out2 = preprocess_batch(jax.random.PRNGKey(9), d["canvases"],
+                                d["coords_px"], d["mask"], d["head_length"],
+                                d["canvas_from_orig"], CFG, 32, False)
+        assert out1["images"].shape == (4, 32, 32, 3)
+        assert out1["coords"].shape == (4, 16, 2)
+        np.testing.assert_allclose(out1["images"], out2["images"], atol=1e-6)
+        np.testing.assert_allclose(out1["coords"], out2["coords"], atol=1e-6)
+
+    def test_eval_coords_roundtrip_to_original(self):
+        # crop_from_orig must map original joint px to the crop px that
+        # corresponds to the returned normalized coords.
+        d = self._data()
+        out = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                               d["coords_px"], d["mask"], d["head_length"],
+                               d["canvas_from_orig"], CFG, 32, False)
+        # canvas IS original here (identity canvas_from_orig).
+        crop_px = transform_coords(out["crop_from_orig"], d["coords_px"])
+        expect_norm = (2.0 * crop_px + 1.0) / 32 - 1.0
+        np.testing.assert_allclose(out["coords"], expect_norm, atol=1e-4)
+
+    def test_train_path_augments(self):
+        d = self._data()
+        cfg = DataConfig(mean=(0, 0, 0), std=(1, 1, 1), flip_prob=0.5)
+        o1 = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                              d["coords_px"], d["mask"], d["head_length"],
+                              d["canvas_from_orig"], cfg, 32, True)
+        o2 = preprocess_batch(jax.random.PRNGKey(1), d["canvases"],
+                              d["coords_px"], d["mask"], d["head_length"],
+                              d["canvas_from_orig"], cfg, 32, True)
+        assert not np.allclose(o1["images"], o2["images"])
+        assert not np.allclose(o1["coords"], o2["coords"])
+        # Augmented coords stay finite and mostly in range.
+        assert np.all(np.isfinite(np.asarray(o1["coords"])))
+
+    def test_normalization_applied(self):
+        d = self._data()
+        cfg = DataConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+        out = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                               d["coords_px"], d["mask"], d["head_length"],
+                               d["canvas_from_orig"], cfg, 32, False)
+        raw = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                               d["coords_px"], d["mask"], d["head_length"],
+                               d["canvas_from_orig"], CFG, 32, False)
+        np.testing.assert_allclose(
+            out["images"], (raw["images"] - 0.5) / 0.25, atol=1e-5)
+
+
+class TestLoader:
+    def _ds(self, n=20):
+        return ArrayDataset(make_synthetic_mpii(n, canvas_size=16, seed=2))
+
+    def test_batches_and_shapes(self):
+        loader = ShardedLoader(self._ds(), 4, shuffle=True, seed=3)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 5
+        assert batches[0]["canvases"].shape == (4, 16, 16, 3)
+
+    def test_determinism_same_epoch(self):
+        loader = ShardedLoader(self._ds(), 4, shuffle=True, seed=3)
+        b1 = list(loader.epoch(0))
+        b2 = list(loader.epoch(0))
+        np.testing.assert_allclose(b1[2]["coords_px"], b2[2]["coords_px"])
+
+    def test_different_epochs_differ(self):
+        loader = ShardedLoader(self._ds(), 4, shuffle=True, seed=3)
+        b1 = list(loader.epoch(0))
+        b2 = list(loader.epoch(1))
+        assert not np.allclose(b1[0]["coords_px"], b2[0]["coords_px"])
+
+    def test_resume_start_step(self):
+        loader = ShardedLoader(self._ds(), 4, shuffle=True, seed=3)
+        full = list(loader.epoch(0))
+        tail = list(loader.epoch(0, start_step=3))
+        assert len(tail) == 2
+        np.testing.assert_allclose(full[3]["coords_px"], tail[0]["coords_px"])
+
+    def test_host_sharding_partitions(self):
+        ds = self._ds(20)
+        l0 = ShardedLoader(ds, 4, shuffle=False, num_hosts=2, host_id=0)
+        l1 = ShardedLoader(ds, 4, shuffle=False, num_hosts=2, host_id=1)
+        assert l0.local_batch_size == 2
+        b0 = list(l0.epoch(0))
+        b1 = list(l1.epoch(0))
+        # Hosts see disjoint sample sets covering the dataset.
+        all0 = np.concatenate([b["head_length"] for b in b0])
+        assert len(all0) == 10 and len(b0) == 5
+        c0 = np.concatenate([b["coords_px"] for b in b0])
+        c1 = np.concatenate([b["coords_px"] for b in b1])
+        assert not np.allclose(c0, c1)
+
+    def test_synthetic_schema(self):
+        d = make_synthetic_mpii(3, canvas_size=24)
+        assert d["canvases"].shape == (3, 24, 24, 3)
+        assert d["coords_px"].shape == (3, 16, 2)
+        assert d["mask"].shape == (3, 16)
+        assert d["canvas_from_orig"].shape == (3, 3, 3)
+        assert d["canvases"].min() >= 0 and d["canvases"].max() <= 1
