@@ -1,0 +1,97 @@
+"""Benchmark: flagship training-step throughput on the TPU chip.
+
+Measures images/sec/chip for the full hg8 + DSNT + JS train step (on-device
+augmentation + forward + backward + RMSProp update, bf16 backbone, fused
+Pallas DSNT head) — BASELINE config #3, the workload of BASELINE.json's
+``metric``.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the PyTorch-CPU reference implementation
+(bench_torch_reference.py), measured once and cached in BENCH_BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+
+
+def _baseline_ips() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_images_per_sec"]
+    # Measure the torch CPU reference in a subprocess (isolates threads).
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "bench_torch_reference.py")],
+            capture_output=True, text=True, timeout=3600, check=True)
+        val = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(val, f)
+        return val["torch_cpu_images_per_sec"]
+    except Exception as e:  # pragma: no cover
+        print(f"# baseline measurement failed ({e}); vs_baseline=0", file=sys.stderr)
+        return 0.0
+
+
+def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
+    from dsnt_pose2d_tpu.models.factory import build_pose_model
+    from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from dsnt_pose2d_tpu.train.loop import make_step_fns
+    from dsnt_pose2d_tpu.train.state import create_train_state
+    from dsnt_pose2d_tpu.utils.config import Config, ModelConfig, TrainConfig
+
+    cfg = Config(
+        model=ModelConfig(base="hg8", output_strat="dsnt", reg="js",
+                          dtype="bfloat16", use_pallas=True),
+        train=TrainConfig(batch_size=batch, donate=True),
+    )
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    train_step, _ = make_step_fns(model, cfg, mesh)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
+
+    data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
+    batch_arrays = shard_batch(mesh, data)
+
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch_arrays)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = train_step(state, batch_arrays)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    return batch * iters / dt
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    ips = measure_tpu(batch=batch, iters=iters)
+    base = _baseline_ips()
+    print(json.dumps({
+        "metric": "images/sec/chip (hg8+DSNT+JS fwd/bwd train step)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / base, 2) if base else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,21 @@ from ..data import ArrayDataset, MPIIDataset, ShardedLoader, make_synthetic_mpii
 from ..utils.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
 
 
+def add_platform_arg(p: argparse.ArgumentParser):
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu", "tpu"],
+                   help="force a JAX platform (the axon TPU plugin overrides "
+                        "the JAX_PLATFORMS env var, so use this flag)")
+
+
+def apply_platform(args):
+    """Call BEFORE any jax device/backend use."""
+    if getattr(args, "platform", "default") != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def add_model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("model")
     g.add_argument("--base-model", default="hg1",

@@ -11,7 +11,7 @@ from ..models.factory import build_pose_model
 from ..parallel.mesh import initialize_distributed, make_mesh
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import Trainer
-from .common import add_data_args, make_datasets, make_loaders
+from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
 
 
 def main(argv=None):
@@ -23,7 +23,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=0,
                    help="override eval batch size")
     add_data_args(p)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     initialize_distributed()
     ckpt = CheckpointManager(args.model_dir)

@@ -14,7 +14,7 @@ from ..models.factory import build_pose_model
 from ..parallel.mesh import initialize_distributed, make_mesh, shard_batch
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import Trainer
-from .common import add_data_args, make_datasets, make_loaders
+from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
 
 
 def main(argv=None):
@@ -24,7 +24,9 @@ def main(argv=None):
     p.add_argument("--subset", default="val", choices=["train", "val", "test"])
     p.add_argument("--preds-file", default="preds.h5")
     add_data_args(p)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     initialize_distributed()
     ckpt = CheckpointManager(args.model_dir)

@@ -18,6 +18,8 @@ from ..train.checkpoint import CheckpointManager
 from ..train.loop import Trainer
 from ..train.metrics import MetricWriter
 from .common import (
+    add_platform_arg,
+    apply_platform,
     add_data_args,
     add_model_args,
     add_train_args,
@@ -33,7 +35,9 @@ def main(argv=None):
     add_model_args(p)
     add_data_args(p)
     add_train_args(p)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     initialize_distributed()
     cfg = config_from_args(args)

@@ -1,0 +1,114 @@
+"""Pallas fused DSNT-head kernel vs the jnp oracle (SURVEY.md section 7
+stage 6): forward coords/reg equivalence and custom-VJP equivalence against
+``jax.grad`` of the jnp composition, fp32, interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsnt_pose2d_tpu import ops
+from dsnt_pose2d_tpu.ops.pallas import AVAILABLE, fused_dsnt_head
+
+pytestmark = pytest.mark.skipif(not AVAILABLE, reason="pallas unavailable")
+
+
+def _oracle(raw, t, sigma, reg):
+    z = ops.flat_softmax(raw)
+    coords = ops.dsnt(z)
+    if reg == "none":
+        return coords, None
+    if reg == "var":
+        return coords, ops.variance_reg_losses(z, sigma)
+    fn = {"js": ops.js_reg_losses, "kl": ops.kl_reg_losses,
+          "mse": ops.mse_reg_losses}[reg]
+    return coords, fn(z, t, sigma)
+
+
+@pytest.fixture(scope="module")
+def data(request):
+    rng = np.random.default_rng(7)
+    raw = jnp.asarray(rng.normal(size=(3, 4, 16, 16)).astype(np.float32) * 3)
+    t = jnp.asarray(rng.uniform(-0.8, 0.8, size=(3, 4, 2)).astype(np.float32))
+    return raw, t
+
+
+@pytest.mark.parametrize("reg", ["none", "js", "kl", "mse", "var"])
+def test_forward_matches_oracle(data, reg):
+    raw, t = data
+    coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg)
+    coords_o, regv_o = _oracle(raw, t, 1.0, reg)
+    np.testing.assert_allclose(coords, coords_o, atol=2e-6)
+    if reg != "none":
+        np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_path_no_targets(data):
+    raw, _ = data
+    coords, regv = fused_dsnt_head(raw, None, reg="js")
+    assert regv is None
+    np.testing.assert_allclose(coords, ops.dsnt(ops.flat_softmax(raw)), atol=2e-6)
+
+
+def test_nonaligned_heatmap_size():
+    # 7x7 resnet heatmaps: lane padding path.
+    rng = np.random.default_rng(3)
+    raw = jnp.asarray(rng.normal(size=(5, 7, 7)).astype(np.float32))
+    t = jnp.zeros((5, 2), jnp.float32)
+    coords, regv = fused_dsnt_head(raw, t, sigma_px=0.7, reg="js")
+    coords_o, regv_o = _oracle(raw, t, 0.7, "js")
+    np.testing.assert_allclose(coords, coords_o, atol=2e-6)
+    np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reg", ["none", "js", "kl", "mse", "var"])
+def test_gradients_match_oracle(data, reg):
+    raw, t = data
+    mask = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(3, 4)) > 0.3, jnp.float32)
+
+    def loss_pallas(raw):
+        coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg)
+        l = ops.euclidean_losses(coords, t)
+        if regv is not None:
+            l = l + regv
+        return ops.average_loss(l, mask)
+
+    def loss_oracle(raw):
+        coords, regv = _oracle(raw, t, 1.0, reg)
+        l = ops.euclidean_losses(coords, t)
+        if regv is not None:
+            l = l + regv
+        return ops.average_loss(l, mask)
+
+    gp = jax.grad(loss_pallas)(raw)
+    go = jax.grad(loss_oracle)(raw)
+    np.testing.assert_allclose(gp, go, rtol=1e-4, atol=1e-6)
+
+
+def test_coords_only_gradient():
+    # Cotangent flows only through coords (reg output unused).
+    rng = np.random.default_rng(11)
+    raw = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
+    t = jnp.zeros((2, 2), jnp.float32)
+
+    def f(raw):
+        coords, _ = fused_dsnt_head(raw, t, reg="js")
+        return jnp.sum(coords ** 2)
+
+    def f_o(raw):
+        return jnp.sum(ops.dsnt(ops.flat_softmax(raw)) ** 2)
+
+    np.testing.assert_allclose(jax.grad(f)(raw), jax.grad(f_o)(raw),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_large_batch_tiling():
+    # More rows than one 128-row tile: grid iteration correctness.
+    rng = np.random.default_rng(13)
+    raw = jnp.asarray(rng.normal(size=(300, 8, 8)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(-0.5, 0.5, size=(300, 2)).astype(np.float32))
+    coords, regv = fused_dsnt_head(raw, t, reg="js")
+    coords_o, regv_o = _oracle(raw, t, 1.0, "js")
+    np.testing.assert_allclose(coords, coords_o, atol=2e-6)
+    np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md
+section 4 item (c)): mesh construction, batch sharding, DP train step
+equivalence across mesh sizes, and the driver's dryrun_multichip path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsnt_pose2d_tpu.data import make_synthetic_mpii
+from dsnt_pose2d_tpu.models.factory import build_pose_model
+from dsnt_pose2d_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from dsnt_pose2d_tpu.train.loop import make_step_fns
+from dsnt_pose2d_tpu.train.state import create_train_state
+from dsnt_pose2d_tpu.utils.config import Config, DataConfig, ModelConfig, OptimConfig, TrainConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _cfg(batch):
+    return Config(
+        model=ModelConfig(base="hg1", reg="js", hg_features=32, hg_depth=2,
+                          input_size=32, dtype="float32", use_pallas=False),
+        optim=OptimConfig(lr=1e-3, schedule="constant"),
+        data=DataConfig(mean=(0, 0, 0), std=(1, 1, 1)),
+        train=TrainConfig(batch_size=batch, donate=False),
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape[DATA_AXIS] == 8
+    mesh2 = make_mesh(8, model_parallel=2)
+    assert mesh2.shape["model"] == 2 and mesh2.shape[DATA_AXIS] == 4
+
+
+def test_batch_is_sharded_over_devices():
+    mesh = make_mesh(8)
+    data = make_synthetic_mpii(8, canvas_size=32, seed=0)
+    batch = shard_batch(mesh, data)
+    sh = batch["canvases"].sharding
+    assert sh.is_equivalent_to(batch_sharding(mesh), batch["canvases"].ndim)
+    # Each device holds 1/8 of the batch.
+    shard_shapes = {s.data.shape for s in batch["canvases"].addressable_shards}
+    assert shard_shapes == {(1, 32, 32, 3)}
+
+
+def test_train_step_equivalent_1_vs_8_devices():
+    # The DP code path must be a pure config change: same data, same seed,
+    # same initial params => same loss on mesh(1) and mesh(8).
+    data = make_synthetic_mpii(8, canvas_size=32, seed=1)
+    losses = {}
+    for n in (1, 8):
+        cfg = _cfg(8)
+        model = build_pose_model(cfg.model)
+        mesh = make_mesh(n)
+        train_step, _ = make_step_fns(model, cfg, mesh)
+        state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                                   batch_size=2)
+        state = jax.device_put(state, replicated(mesh))
+        batch = shard_batch(mesh, data)
+        state, metrics = train_step(state, batch)
+        state, metrics = train_step(state, batch)
+        losses[n] = float(jax.device_get(metrics["loss"]))
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4)
+
+
+def test_eval_psum_counts_match_single_device():
+    data = make_synthetic_mpii(8, canvas_size=32, seed=2)
+    counts = {}
+    for n in (1, 8):
+        cfg = _cfg(8)
+        model = build_pose_model(cfg.model)
+        mesh = make_mesh(n)
+        _, eval_step = make_step_fns(model, cfg, mesh)
+        state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                                   batch_size=2)
+        state = jax.device_put(state, replicated(mesh))
+        out = eval_step(state, shard_batch(mesh, data))
+        counts[n] = (np.asarray(jax.device_get(out["pckh_correct"])),
+                     np.asarray(jax.device_get(out["pckh_total"])))
+    np.testing.assert_allclose(counts[1][1], counts[8][1])
+    np.testing.assert_allclose(counts[1][0], counts[8][0])
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft", os.path.join(os.path.dirname(__file__), "..",
+                               "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,151 @@
+"""Train-loop tests: jitted step over a mesh, overfit on the synthetic
+fixture (proves the whole graph + gradients), checkpoint round-trip, LR
+schedule, optimizer construction."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsnt_pose2d_tpu.data import ArrayDataset, ShardedLoader, make_synthetic_mpii
+from dsnt_pose2d_tpu.models.factory import build_pose_model
+from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from dsnt_pose2d_tpu.train.loop import Trainer, make_step_fns
+from dsnt_pose2d_tpu.train.metrics import MeanMeter, MetricWriter
+from dsnt_pose2d_tpu.train.state import create_train_state, make_lr_schedule, make_optimizer
+from dsnt_pose2d_tpu.utils.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+    config_from_json,
+    config_to_json,
+)
+
+TINY_MODEL = ModelConfig(base="hg1", output_strat="dsnt", reg="js",
+                         hg_features=32, hg_depth=2, input_size=32,
+                         dtype="float32", use_pallas=False)
+
+
+def tiny_config(**train_kw):
+    return Config(
+        model=TINY_MODEL,
+        optim=OptimConfig(lr=2e-3, schedule="constant"),
+        data=DataConfig(mean=(0, 0, 0), std=(1, 1, 1), color_jitter=0.0,
+                        max_rotation_deg=10.0, scale_range=(0.9, 1.1)),
+        train=TrainConfig(batch_size=8, seed=0, log_every_steps=1,
+                          donate=False, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    train_step, eval_step = make_step_fns(model, cfg, mesh)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
+    data = make_synthetic_mpii(8, canvas_size=48, seed=3)
+    batch = shard_batch(mesh, data)
+    return cfg, model, mesh, train_step, eval_step, state, batch
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, model, mesh, train_step, eval_step, state, batch = setup
+    new_state, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(jax.device_get(new_state.step)) == 1
+    # Params changed.
+    p0 = jax.tree_util.tree_leaves(jax.device_get(state.params))[0]
+    p1 = jax.tree_util.tree_leaves(jax.device_get(new_state.params))[0]
+    assert not np.allclose(p0, p1)
+
+
+def test_eval_step_outputs(setup):
+    cfg, model, mesh, train_step, eval_step, state, batch = setup
+    out = eval_step(state, batch)
+    assert out["pckh_correct"].shape == (16,)
+    assert out["pckh_total"].shape == (16,)
+    assert float(out["pckh_total"].sum()) > 0
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_overfit_synthetic(setup):
+    # The end-to-end learning check (SURVEY.md minimum slice): loss must
+    # drop substantially on a fixed tiny batch within a few dozen steps.
+    cfg, model, mesh, train_step, eval_step, state, batch = setup
+    losses = []
+    for i in range(60):
+        state, metrics = train_step(state, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_trainer_epoch_and_checkpoint(tmp_path):
+    cfg = tiny_config(epochs=1, eval_every_epochs=1)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    ds = ArrayDataset(make_synthetic_mpii(16, canvas_size=48, seed=4))
+    train_loader = ShardedLoader(ds, 8, shuffle=True, seed=0)
+    val_loader = ShardedLoader(ds, 8, shuffle=False, drop_last=False)
+
+    from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "exp"), cfg, max_to_keep=2)
+    writer = MetricWriter(str(tmp_path / "exp"), echo=False)
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=train_loader, val_loader=val_loader,
+                      checkpointer=ckpt, metric_writer=writer)
+    state, best = trainer.run()
+    assert 0.0 <= best <= 1.0
+    assert os.path.exists(tmp_path / "exp" / "config.json")
+    assert os.path.exists(tmp_path / "exp" / "metrics.jsonl")
+
+    # Round-trip: restore into a fresh template and compare a param leaf.
+    template = trainer.init_state()
+    restored, meta = ckpt.restore(template)
+    assert restored is not None
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))[0]
+    b = jax.tree_util.tree_leaves(jax.device_get(restored.params))[0]
+    np.testing.assert_allclose(a, b)
+    # Restored config rebuilds the same model.
+    cfg2 = ckpt.load_config()
+    assert cfg2.model == cfg.model
+    ckpt.close()
+
+
+def test_lr_schedule_step_decay():
+    sched = make_lr_schedule(OptimConfig(lr=1.0, lr_drop_epochs=(2, 4),
+                                         lr_drop_factor=0.1), steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(25)) == pytest.approx(0.1)
+    assert float(sched(45)) == pytest.approx(0.01)
+
+
+def test_optimizer_kinds():
+    for kind in ("rmsprop", "adam", "sgd"):
+        make_optimizer(OptimConfig(optimizer=kind))
+    with pytest.raises(ValueError):
+        make_optimizer(OptimConfig(optimizer="lbfgs"))
+
+
+def test_config_json_roundtrip():
+    cfg = tiny_config()
+    s = config_to_json(cfg)
+    cfg2 = config_from_json(s)
+    assert cfg2 == cfg
+
+
+def test_mean_meter():
+    m = MeanMeter()
+    m.add(1.0)
+    m.add(3.0)
+    assert m.value == 2.0
+    m.reset()
+    assert m.n == 0
