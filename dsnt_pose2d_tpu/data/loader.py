@@ -29,6 +29,26 @@ def _collate(samples: list[dict]) -> dict:
     return out
 
 
+def prefetch_to_device(batch_iter, mesh, depth: int = 2):
+    """Keep ``depth`` batches resident on device ahead of the consumer.
+
+    ``device_put`` is async, so eagerly placing the next batch overlaps its
+    H2D transfer with the current step's compute — the TPU equivalent of the
+    reference's pinned-memory prefetch, without worker processes.
+    """
+    from collections import deque
+
+    from ..parallel.mesh import shard_batch
+
+    queue_: deque = deque()
+    for batch in batch_iter:
+        queue_.append(shard_batch(mesh, batch))
+        if len(queue_) > depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 class ShardedLoader:
     def __init__(self, dataset, global_batch_size: int, *, shuffle: bool,
                  seed: int = 0, num_hosts: int = 1, host_id: int = 0,

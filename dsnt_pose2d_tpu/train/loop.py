@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from ..data.augment import preprocess_batch
+from ..data.loader import prefetch_to_device
 from ..data.transforms import transform_coords
 from ..evaluation.pckh import PCKhEvaluator, pckh_batch_counts
 from ..models.factory import PoseModel
@@ -35,6 +36,25 @@ from .state import TrainState, create_train_state, make_optimizer
 
 def normalized_to_crop_px(coords_norm: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((coords_norm + 1.0) * size - 1.0) / 2.0
+
+
+def _dump_samples(sample_dir: str, epoch: int, batch: dict,
+                  pred_orig: np.ndarray, max_n: int = 4):
+    """Render predicted skeletons over the first few canvases (Showoff-style
+    debug images, SURVEY.md C14)."""
+    import os
+
+    from ..data.transforms import transform_coords as _tc
+    from ..utils.visualization import render_skeleton, save_png
+
+    os.makedirs(sample_dir, exist_ok=True)
+    canvases = np.asarray(batch["canvases"])[:max_n]
+    m = np.asarray(batch["canvas_from_orig"])[:max_n]
+    mask = np.asarray(batch["mask"])[:max_n]
+    pred_canvas = np.asarray(_tc(jnp.asarray(m), jnp.asarray(pred_orig[:max_n])))
+    for i, canvas in enumerate(canvases):
+        img = render_skeleton(canvas, pred_canvas[i], mask[i])
+        save_png(img, os.path.join(sample_dir, f"epoch{epoch:04d}_s{i}.png"))
 
 
 def make_step_fns(model: PoseModel, cfg: Config, mesh,
@@ -139,24 +159,35 @@ class Trainer:
         if state is None:
             state = self.init_state()
         best_pckh = -1.0
+        local_bs = self.train_loader.local_batch_size
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             losses = []
-            for step, batch in enumerate(self.train_loader.epoch(epoch)):
-                state, metrics = self.train_step(state, shard_batch(self.mesh, batch))
+            batches = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
+            for step, batch in enumerate(batches):
+                state, metrics = self.train_step(state, batch)
                 losses.append(metrics["loss"])
                 if self.metric_writer and step % cfg.train.log_every_steps == 0:
                     self.metric_writer.write(
                         {"epoch": epoch, "step": int(jax.device_get(state.step)),
                          **{k: float(jax.device_get(v)) for k, v in metrics.items()}})
+            n_steps = len(losses)
+            jax.block_until_ready(state.params)
             epoch_time = time.time() - t0
             train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
 
             summary = {"epoch": epoch, "train_loss": train_loss,
-                       "epoch_seconds": epoch_time}
+                       "epoch_seconds": epoch_time,
+                       "images_per_sec": n_steps * local_bs * jax.process_count() / max(epoch_time, 1e-9)}
             if self.val_loader is not None and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
-                val = self.evaluate(state)
+                sample_dir = None
+                if self.metric_writer is not None and self.metric_writer.path:
+                    import os
+
+                    sample_dir = os.path.join(
+                        os.path.dirname(self.metric_writer.path), "samples")
+                val = self.evaluate(state, sample_dir=sample_dir, epoch=epoch)
                 summary.update({"val_loss": val["loss"],
                                 "val_pckh": val["pckh"]})
                 is_best = val["pckh"] > best_pckh
@@ -175,14 +206,20 @@ class Trainer:
             self.checkpointer.wait()
         return state, best_pckh
 
-    def evaluate(self, state: TrainState) -> dict:
+    def evaluate(self, state: TrainState, sample_dir: str | None = None,
+                 epoch: int = 0) -> dict:
         evaluator = PCKhEvaluator(self.model.cfg.num_joints)
         losses = []
+        first = None
         for batch in self.val_loader.epoch(0):
             out = self.eval_step(state, shard_batch(self.mesh, batch))
             evaluator.add_counts(jax.device_get(out["pckh_correct"]),
                                  jax.device_get(out["pckh_total"]))
             losses.append(float(jax.device_get(out["loss"])))
+            if first is None:
+                first = (batch, np.asarray(jax.device_get(out["pred_orig"])))
+        if sample_dir and first is not None and jax.process_index() == 0:
+            _dump_samples(sample_dir, epoch, first[0], first[1])
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
                 "pckh": evaluator.total_pckh(),
                 "evaluator": evaluator}

@@ -149,3 +149,32 @@ def test_mean_meter():
     assert m.value == 2.0
     m.reset()
     assert m.n == 0
+
+
+def test_prefetch_to_device():
+    from dsnt_pose2d_tpu.data.loader import prefetch_to_device
+
+    mesh = make_mesh(1)
+    ds = ArrayDataset(make_synthetic_mpii(8, canvas_size=16, seed=5))
+    loader = ShardedLoader(ds, 4, shuffle=False)
+    batches = list(prefetch_to_device(loader.epoch(0), mesh))
+    assert len(batches) == 2
+    assert hasattr(batches[0]["canvases"], "sharding")
+
+
+def test_trainer_writes_sample_renders(tmp_path):
+    cfg = tiny_config(epochs=1, eval_every_epochs=1)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    ds = ArrayDataset(make_synthetic_mpii(8, canvas_size=48, seed=6))
+    train_loader = ShardedLoader(ds, 8, shuffle=True, seed=0)
+    val_loader = ShardedLoader(ds, 8, shuffle=False, drop_last=False)
+    writer = MetricWriter(str(tmp_path / "exp"), echo=False)
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=train_loader, val_loader=val_loader,
+                      metric_writer=writer)
+    trainer.run()
+    import glob
+
+    pngs = glob.glob(str(tmp_path / "exp" / "samples" / "*.png"))
+    assert pngs, "expected sample skeleton renders"
