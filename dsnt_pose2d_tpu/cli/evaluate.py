@@ -22,6 +22,8 @@ def main(argv=None):
                    help="checkpoint epoch (default: best if recorded, else latest)")
     p.add_argument("--batch-size", type=int, default=0,
                    help="override eval batch size")
+    p.add_argument("--flip-eval", action="store_true",
+                   help="average predictions with a horizontally-flipped pass")
     add_data_args(p)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -38,11 +40,15 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(
                 cfg.data, data_dir=args.data_dir, source=args.data_source))
-    if args.batch_size:
+    if args.batch_size or args.flip_eval:
         import dataclasses
 
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+        train = cfg.train
+        if args.batch_size:
+            train = dataclasses.replace(train, batch_size=args.batch_size)
+        if args.flip_eval:
+            train = dataclasses.replace(train, flip_eval=True)
+        cfg = dataclasses.replace(cfg, train=train)
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()

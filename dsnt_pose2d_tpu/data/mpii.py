@@ -81,36 +81,64 @@ class MPIIDataset:
     """
 
     def __init__(self, data_dir: str, subset: str = TRAIN,
-                 canvas_size: int = 384, canvas_margin: float = 1.5):
+                 canvas_size: int = 384, canvas_margin: float = 1.5,
+                 use_native: bool | None = None):
         self.data_dir = data_dir
         self.subset = subset
         self.canvas_size = canvas_size
         self.canvas_margin = canvas_margin
         self.annot = load_annotations(data_dir, subset)
         self.images_dir = os.path.join(data_dir, "images")
+        self._native_pref = use_native
+
+    def _use_native(self) -> bool:
+        if self._native_pref is not None:
+            return self._native_pref
+        from .. import native
+
+        return native.available()
 
     def __len__(self):
         return len(self.annot)
 
     def __getitem__(self, i: int) -> dict:
-        from PIL import Image
-
         a = self.annot
-        img = Image.open(os.path.join(self.images_dir, a.imgnames[i])).convert("RGB")
+        path = os.path.join(self.images_dir, a.imgnames[i])
         cx, cy = a.centers[i]
         box = float(a.scales[i]) * MPII_SCALE_BOX_PX * self.canvas_margin
         half = box / 2.0
-        # Crop the (possibly out-of-bounds) square; PIL zero-pads.
-        left, top = int(round(cx - half)), int(round(cy - half))
-        side = int(round(box))
-        crop = img.crop((left, top, left + side, top + side))
-        crop = crop.resize((self.canvas_size, self.canvas_size), Image.BILINEAR)
-        canvas = np.asarray(crop, np.uint8)
+        left, top, side = float(cx - half), float(cy - half), float(box)
 
+        canvas = None
+        if self._use_native():
+            from .. import native
+
+            try:
+                with open(path, "rb") as f:
+                    canvas = native.decode_crop_resize(
+                        f.read(), left, top, side, self.canvas_size)
+            except ValueError:
+                canvas = None  # non-JPEG or corrupt: PIL fallback below
+        if canvas is None:
+            from PIL import Image
+
+            img = Image.open(path).convert("RGB")
+            li, ti, si = int(round(left)), int(round(top)), int(round(side))
+            crop = img.crop((li, ti, li + si, ti + si))
+            crop = crop.resize((self.canvas_size, self.canvas_size),
+                               Image.BILINEAR)
+            canvas = np.asarray(crop, np.uint8)
+            left, top, side = float(li), float(ti), float(si)
+
+        # Pixel-center affine of the crop/resize: output pixel ox samples
+        # input x = left + (ox + 0.5) * side/S - 0.5, hence
+        # x_canvas = s * x_orig + (0.5 * s - 0.5 - left * s),  s = S / side.
         s = self.canvas_size / side
+        tx = 0.5 * s - 0.5 - left * s
+        ty = 0.5 * s - 0.5 - top * s
         canvas_from_orig = np.asarray(
-            [[s, 0, -left * s], [0, s, -top * s], [0, 0, 1]], np.float32)
-        parts_canvas = a.parts[i] * s + np.asarray([-left * s, -top * s], np.float32)
+            [[s, 0, tx], [0, s, ty], [0, 0, 1]], np.float32)
+        parts_canvas = a.parts[i] * s + np.asarray([tx, ty], np.float32)
         # Unannotated joints are stored as (0, 0) or negatives in the h5;
         # their visibility flag already masks them.
         return {

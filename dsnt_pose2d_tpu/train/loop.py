@@ -106,6 +106,19 @@ def make_step_fns(model: PoseModel, cfg: Config, mesh,
         loss, _ = model.loss(out, pre["coords"], pre["mask"])
         coords_norm = model.decode(out)
 
+        if cfg.train.flip_eval:
+            # Mirrored second pass (reference evaluate.py option): flip the
+            # image about x, decode, unflip coords (x -> -x is exact under
+            # the symmetric pixel-center grid), swap L/R joints, average.
+            from ..data.transforms import flip_permutation
+
+            flipped = jnp.flip(pre["images"], axis=2)
+            out_f = model.module.apply(variables, flipped, train=False)
+            coords_f = model.decode(out_f)
+            perm = flip_permutation(coords_f.shape[-2])
+            coords_f = coords_f.at[..., 0].multiply(-1.0)[..., perm, :]
+            coords_norm = 0.5 * (coords_norm + coords_f)
+
         # Map predictions and ground truth to ORIGINAL-image pixels.
         hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
         orig_from_crop = jnp.linalg.inv(pre["crop_from_orig"])

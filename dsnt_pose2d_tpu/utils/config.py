@@ -117,6 +117,9 @@ class TrainConfig:
     log_every_steps: int = 20
     eval_every_epochs: int = 1
     donate: bool = True
+    # Eval-time horizontal-flip averaging (reference evaluate.py option):
+    # average decoded coords with the unflipped ones from a mirrored pass.
+    flip_eval: bool = False
 
 
 @dataclass(frozen=True)

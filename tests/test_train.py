@@ -178,3 +178,23 @@ def test_trainer_writes_sample_renders(tmp_path):
 
     pngs = glob.glob(str(tmp_path / "exp" / "samples" / "*.png"))
     assert pngs, "expected sample skeleton renders"
+
+
+def test_flip_eval_consistency():
+    # On a horizontally symmetric evaluation, flip-averaged coords must stay
+    # valid and close to the single-pass decode for a near-uniform model.
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train,
+                                                             flip_eval=True))
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    _, eval_step = make_step_fns(model, cfg, mesh)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
+    data = make_synthetic_mpii(8, canvas_size=48, seed=7)
+    out = eval_step(state, shard_batch(mesh, data))
+    assert np.all(np.isfinite(np.asarray(jax.device_get(out["pred_orig"]))))
+    assert float(out["pckh_total"].sum()) > 0
