@@ -36,6 +36,8 @@ def main(argv=None):
     add_data_args(p)
     add_train_args(p)
     add_platform_arg(p)
+    p.add_argument("--dashboard-port", type=int, default=0,
+                   help="serve a live metrics dashboard on this port")
     args = p.parse_args(argv)
     apply_platform(args)
 
@@ -50,6 +52,11 @@ def main(argv=None):
 
     ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
     writer = MetricWriter(out_dir, echo=jax.process_index() == 0)
+    if args.dashboard_port and jax.process_index() == 0:
+        from ..train.dashboard import serve
+
+        serve(out_dir, args.dashboard_port)
+        print(f"dashboard: http://localhost:{args.dashboard_port}/")
     trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
                       train_loader=train_loader, val_loader=val_loader,
                       checkpointer=ckpt, metric_writer=writer)

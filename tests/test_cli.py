@@ -1,0 +1,87 @@
+"""CLI surface tests: flag parsing mirrors the reference's experiment schema
+(SURVEY.md section 5 config system); no device work here."""
+
+import argparse
+
+import pytest
+
+from dsnt_pose2d_tpu.cli.common import (
+    add_data_args,
+    add_model_args,
+    add_train_args,
+    config_from_args,
+    experiment_dir,
+)
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    return p.parse_args(argv)
+
+
+def test_defaults_match_reference_schema():
+    cfg = config_from_args(_parse([]))
+    assert cfg.model.base == "hg1"
+    assert cfg.model.output_strat == "dsnt"
+    assert cfg.model.preact == "softmax"
+    assert cfg.model.reg == "none"
+    assert cfg.optim.lr == pytest.approx(2.5e-4)
+    assert cfg.optim.optimizer == "rmsprop"
+    assert cfg.train.epochs == 120
+    assert cfg.train.batch_size == 32
+
+
+def test_flag_round_trip():
+    cfg = config_from_args(_parse([
+        "--base-model", "hg8", "--output-strat", "gauss", "--reg", "js",
+        "--reg-coeff", "2.5", "--hm-sigma", "0.5", "--dilate", "2",
+        "--truncate", "1", "--preact", "thresholded_softmax",
+        "--batch-size", "64", "--epochs", "10", "--lr", "0.001",
+        "--no-pallas", "--dtype", "float32",
+    ]))
+    m = cfg.model
+    assert (m.base, m.output_strat, m.reg) == ("hg8", "gauss", "js")
+    assert m.reg_coeff == 2.5 and m.hm_sigma == 0.5
+    assert m.dilate == 2 and m.truncate == 1
+    assert m.preact == "thresholded_softmax"
+    assert not m.use_pallas and m.dtype == "float32"
+    assert cfg.train.batch_size == 64 and cfg.train.epochs == 10
+
+
+def test_all_reference_base_models_accepted():
+    for base in ("hg1", "hg2", "hg4", "hg8", "resnet18", "resnet34",
+                 "resnet50", "resnet101"):
+        cfg = config_from_args(_parse(["--base-model", base]))
+        assert cfg.model.base == base
+
+
+def test_invalid_choices_rejected():
+    with pytest.raises(SystemExit):
+        _parse(["--output-strat", "bogus"])
+    with pytest.raises(SystemExit):
+        _parse(["--reg", "l3"])
+    with pytest.raises(SystemExit):
+        _parse(["--preact", "softplus"])
+
+
+def test_experiment_dir_uses_id():
+    cfg = config_from_args(_parse(["--out-dir", "/tmp/o", "--experiment-id", "x1"]))
+    assert experiment_dir(cfg) == "/tmp/o/x1"
+
+
+def test_config_presets_load():
+    import glob
+    import json
+    import os
+
+    from dsnt_pose2d_tpu.utils.config import config_from_json
+
+    presets = glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "*.json"))
+    assert len(presets) == 5
+    for path in presets:
+        cfg = config_from_json(open(path).read())
+        assert cfg.model.base in ("hg1", "hg2", "hg4", "hg8", "resnet50")

@@ -1,0 +1,35 @@
+"""Dashboard server tests: routes serve page, metrics stream, and samples."""
+
+import json
+import os
+import urllib.request
+
+from dsnt_pose2d_tpu.train.dashboard import serve
+
+
+def test_dashboard_routes(tmp_path):
+    (tmp_path / "samples").mkdir()
+    (tmp_path / "samples" / "epoch0000_s0.png").write_bytes(b"\x89PNG fake")
+    with open(tmp_path / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"epoch": 0, "train_loss": 1.0}) + "\n")
+        f.write(json.dumps({"epoch": 0, "val_pckh": 0.5}) + "\n")
+
+    server = serve(str(tmp_path), port=0)  # ephemeral port
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "dsnt-pose2d-tpu" in page and "canvas" in page
+        metrics = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "train_loss" in metrics
+        samples = json.loads(urllib.request.urlopen(f"{base}/samples").read())
+        assert samples == ["epoch0000_s0.png"]
+        png = urllib.request.urlopen(f"{base}/samples/epoch0000_s0.png").read()
+        assert png.startswith(b"\x89PNG")
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
