@@ -40,6 +40,8 @@ def add_model_args(p: argparse.ArgumentParser):
                    choices=["none", "var", "kl", "js", "mse"])
     g.add_argument("--reg-coeff", type=float, default=1.0)
     g.add_argument("--hm-sigma", type=float, default=1.0)
+    g.add_argument("--coord-loss", default="euclidean",
+                   choices=["euclidean", "l1", "mse"])
     g.add_argument("--no-pallas", action="store_true",
                    help="disable the fused Pallas DSNT head")
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -53,6 +55,8 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--data-source", default="auto",
                    choices=["auto", "h5", "synthetic"])
     g.add_argument("--synthetic-size", type=int, default=256)
+    g.add_argument("--canvas-size", type=int, default=0,
+                   help="host canvas px (0 = auto)")
 
 
 def add_train_args(p: argparse.ArgumentParser):
@@ -76,11 +80,13 @@ def config_from_args(args) -> Config:
         base=args.base_model, dilate=args.dilate, truncate=args.truncate,
         output_strat=args.output_strat, preact=args.preact, reg=args.reg,
         reg_coeff=args.reg_coeff, hm_sigma=args.hm_sigma,
+        coord_loss=getattr(args, "coord_loss", "euclidean"),
         use_pallas=not args.no_pallas, dtype=args.dtype,
         hg_features=args.hg_features, input_size=args.input_size)
     data = DataConfig(
         data_dir=args.data_dir, source=args.data_source,
-        synthetic_size=args.synthetic_size)
+        synthetic_size=args.synthetic_size,
+        canvas_size=getattr(args, "canvas_size", 0))
     optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,
                         schedule=getattr(args, "schedule", "step"))
     train = TrainConfig(
@@ -107,11 +113,13 @@ def make_datasets(cfg: Config):
             for p in ("annot", "annot.h5", "train.h5"))
         src = "h5" if has_mpii else "synthetic"
     if src == "h5":
-        return (MPIIDataset(cfg.data.data_dir, "train"),
-                MPIIDataset(cfg.data.data_dir, "val"))
+        canvas = cfg.data.canvas_size or 384
+        return (MPIIDataset(cfg.data.data_dir, "train", canvas_size=canvas),
+                MPIIDataset(cfg.data.data_dir, "val", canvas_size=canvas))
     n = cfg.data.synthetic_size
-    return (ArrayDataset(make_synthetic_mpii(n, canvas_size=96, seed=1)),
-            ArrayDataset(make_synthetic_mpii(max(n // 4, 8), canvas_size=96,
+    canvas = cfg.data.canvas_size or 96
+    return (ArrayDataset(make_synthetic_mpii(n, canvas_size=canvas, seed=1)),
+            ArrayDataset(make_synthetic_mpii(max(n // 4, 8), canvas_size=canvas,
                                              seed=2)))
 
 

@@ -38,8 +38,14 @@ def main(argv=None):
     add_platform_arg(p)
     p.add_argument("--dashboard-port", type=int, default=0,
                    help="serve a live metrics dashboard on this port")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (CI/debug posture)")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of early steps here")
     args = p.parse_args(argv)
     apply_platform(args)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     initialize_distributed()
     cfg = config_from_args(args)
@@ -57,9 +63,14 @@ def main(argv=None):
 
         serve(out_dir, args.dashboard_port)
         print(f"dashboard: http://localhost:{args.dashboard_port}/")
+    hooks = ()
+    if args.profile_dir:
+        from ..train.profiling import make_profile_hook
+
+        hooks = (make_profile_hook(args.profile_dir),)
     trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
                       train_loader=train_loader, val_loader=val_loader,
-                      checkpointer=ckpt, metric_writer=writer)
+                      checkpointer=ckpt, metric_writer=writer, hooks=hooks)
 
     state = None
     start_epoch = 0

@@ -30,8 +30,11 @@ def make_synthetic_mpii(num_samples: int, canvas_size: int = 96,
     c = canvas_size
     canvases = rng.uniform(0.0, 0.25, size=(num_samples, c, c, 3)).astype(np.float32)
 
-    # Distinct color per joint (fixed palette so the mapping is learnable).
-    palette = rng.uniform(0.5, 1.0, size=(num_joints, 3)).astype(np.float32)
+    # Distinct color per joint.  The palette must be the SAME across splits
+    # (independent of `seed`) or joint identification cannot generalize from
+    # train to val.
+    palette_rng = np.random.default_rng(20260816)
+    palette = palette_rng.uniform(0.5, 1.0, size=(num_joints, 3)).astype(np.float32)
 
     margin = 0.15 * c
     coords = rng.uniform(margin, c - 1 - margin,

@@ -72,7 +72,7 @@ def pose_loss(output: PoseOutput, target_coords: jnp.ndarray,
             act = activate_heatmaps(raw, cfg.preact)
             coords = ops.dsnt(act)
             reg = _reg_losses(act, t, cfg)
-        euc = ops.euclidean_losses(coords, t)
+        euc = _coord_losses(coords, t, cfg)
         per_joint = euc if reg is None else euc + cfg.reg_coeff * reg
         # Masked mean within each stack, then sum/mean across stacks.  The
         # visibility mask is identical across stacks, so a single masked mean
@@ -95,7 +95,7 @@ def pose_loss(output: PoseOutput, target_coords: jnp.ndarray,
         return loss, {"coords": coords, "mse": per_stack[-1]}
 
     if cfg.output_strat == "fc":
-        euc = ops.euclidean_losses(output.fc_coords, t)
+        euc = _coord_losses(output.fc_coords, t, cfg)
         per_stack = _masked_mean_keep_stacks(euc, m)
         loss = _stack_reduce(per_stack, cfg.stack_loss)
         return loss, {"coords": output.fc_coords[-1],
@@ -120,6 +120,12 @@ def decode_coords(output: PoseOutput, cfg: ModelConfig) -> jnp.ndarray:
     if cfg.output_strat == "fc":
         return output.fc_coords[-1]
     raise ValueError(f"unknown output strategy {cfg.output_strat!r}")
+
+
+def _coord_losses(coords, t, cfg: ModelConfig):
+    fn = {"euclidean": ops.euclidean_losses, "l1": ops.l1_losses,
+          "mse": ops.mse_losses}[cfg.coord_loss]
+    return fn(coords, t)
 
 
 def _reg_losses(act, t, cfg: ModelConfig):

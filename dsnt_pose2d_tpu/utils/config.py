@@ -39,6 +39,8 @@ class ModelConfig:
     reg_coeff: float = 1.0
     hm_sigma: float = 1.0
     num_joints: int = MPII_NUM_JOINTS
+    # Coordinate loss for dsnt/fc heads (paper ablates euclidean/l1/mse).
+    coord_loss: str = "euclidean"
     # Per-stack loss reduction under intermediate supervision.  Sum is the
     # hourglass-lineage default (SURVEY.md section 7 item 8).
     stack_loss: str = "sum"
@@ -66,6 +68,8 @@ class ModelConfig:
             raise ValueError(f"unknown regularizer {self.reg!r}")
         if self.stack_loss not in ("sum", "mean"):
             raise ValueError(f"stack_loss must be sum|mean, got {self.stack_loss!r}")
+        if self.coord_loss not in ("euclidean", "l1", "mse"):
+            raise ValueError(f"unknown coord_loss {self.coord_loss!r}")
 
     @property
     def resolved_input_size(self) -> int:
@@ -94,6 +98,10 @@ class OptimConfig:
 class DataConfig:
     data_dir: str = "data/mpii"
     source: str = "auto"  # 'auto' | 'h5' | 'synthetic'
+    # Host canvas side (px): the static-shape decoded person region fed to the
+    # on-device augmentation graph.  1.5x the input size leaves rotation/zoom
+    # headroom; 0 = auto (384 for 256-px models, 96 for the synthetic fixture).
+    canvas_size: int = 0
     # Augmentation (reference values, SURVEY.md C11).
     max_rotation_deg: float = 30.0
     scale_range: tuple[float, float] = (0.75, 1.25)

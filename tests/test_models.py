@@ -124,3 +124,27 @@ class TestHeads:
         new = jax.tree_util.tree_leaves(mutated["batch_stats"])
         changed = any(not np.allclose(a, b) for a, b in zip(old, new))
         assert changed
+
+
+class TestCoordLossVariants:
+    @pytest.mark.parametrize("cl", ["euclidean", "l1", "mse"])
+    def test_coord_loss_variants(self, cl):
+        model = build_mpii_pose_model(base="hg1", coord_loss=cl, **TINY)
+        _, _, out = _forward(model)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        coords_t = jax.random.uniform(k1, (2, 16, 2), minval=-0.9, maxval=0.9)
+        mask = jnp.ones((2, 16))
+        loss, _ = model.loss(out, coords_t, mask)
+        assert np.isfinite(float(loss))
+
+    def test_bad_coord_loss_raises(self):
+        with pytest.raises(ValueError):
+            build_mpii_pose_model(coord_loss="huber")
+
+    @pytest.mark.parametrize("preact", ["thresholded_softmax", "relu", "abs",
+                                        "sigmoid"])
+    def test_preact_variants_forward(self, preact):
+        model = build_mpii_pose_model(base="hg1", preact=preact, **TINY)
+        _, _, out = _forward(model)
+        decoded = model.decode(out)
+        assert np.all(np.isfinite(np.asarray(decoded)))
