@@ -22,6 +22,14 @@ from ..utils.config import ModelConfig
 from .heads import PoseOutput, decode_coords, pose_loss
 from .hourglass import HourglassNet
 from .resnet import RESNET_SPECS, ResNetPose
+from .vit import ViTPose
+
+# (embed dim, depth, heads); 16px patches, stride-8 heatmaps.
+VIT_SPECS = {
+    "vit_t16": (192, 4, 3),
+    "vit_s16": (384, 12, 6),
+    "vit_b16": (768, 12, 12),
+}
 
 
 class PoseNet(nn.Module):
@@ -43,6 +51,11 @@ class PoseNet(nn.Module):
             raw = ResNetPose(
                 arch=cfg.base, num_joints=cfg.num_joints, dilate=cfg.dilate,
                 truncate=cfg.truncate, dtype=dtype, name="backbone")(images, train)
+        elif cfg.base in VIT_SPECS:
+            dim, depth, heads = VIT_SPECS[cfg.base]
+            raw = ViTPose(
+                num_joints=cfg.num_joints, dim=dim, depth=depth,
+                num_heads=heads, dtype=dtype, name="backbone")(images, train)
         else:
             raise ValueError(f"unknown base model {cfg.base!r}")
 
@@ -89,6 +102,8 @@ class PoseModel:
         size = self.cfg.resolved_input_size
         if self.cfg.base.startswith("hg"):
             return size // 4
+        if self.cfg.base.startswith("vit"):
+            return size // 8
         stride = 32 // (2 ** (self.cfg.dilate + self.cfg.truncate))
         return size // stride
 

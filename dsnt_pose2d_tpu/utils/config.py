@@ -17,6 +17,8 @@ from typing import Any
 BASE_MODELS = (
     "hg1", "hg2", "hg4", "hg8",
     "resnet18", "resnet34", "resnet50", "resnet101",
+    # BASELINE stretch config #5: ViT backbones (tiny/small/base, 16px patch).
+    "vit_t16", "vit_s16", "vit_b16",
 )
 OUTPUT_STRATS = ("dsnt", "gauss", "fc")
 PREACTS = ("softmax", "thresholded_softmax", "relu", "abs", "sigmoid")
@@ -75,7 +77,11 @@ class ModelConfig:
     def resolved_input_size(self) -> int:
         if self.input_size:
             return self.input_size
-        return 256 if self.base.startswith("hg") else 224
+        if self.base.startswith("hg"):
+            return 256
+        if self.base.startswith("vit"):
+            return 448  # 2x-resolution stretch config
+        return 224
 
 
 @dataclass(frozen=True)

@@ -81,7 +81,7 @@ def test_config_presets_load():
 
     presets = glob.glob(os.path.join(os.path.dirname(__file__), "..",
                                      "configs", "*.json"))
-    assert len(presets) == 5
+    assert len(presets) == 6
     for path in presets:
         cfg = config_from_json(open(path).read())
-        assert cfg.model.base in ("hg1", "hg2", "hg4", "hg8", "resnet50")
+        assert cfg.model.base in ("hg1", "hg2", "hg4", "hg8", "resnet50", "vit_s16")

@@ -148,3 +148,39 @@ class TestCoordLossVariants:
         _, _, out = _forward(model)
         decoded = model.decode(out)
         assert np.all(np.isfinite(np.asarray(decoded)))
+
+
+class TestViT:
+    def test_vit_shapes(self):
+        model = build_mpii_pose_model(base="vit_t16", input_size=64,
+                                      dtype="float32", use_pallas=False)
+        _, _, out = _forward(model)
+        # patch 16 -> grid 4, stride-8 head -> 8x8 heatmaps.
+        assert out.heatmaps.shape == (1, 2, 16, 8, 8)
+        assert model.heatmap_size == 8
+
+    def test_vit_dsnt_loss_and_grads(self):
+        model = build_mpii_pose_model(base="vit_t16", input_size=64, reg="js",
+                                      dtype="float32", use_pallas=False)
+        variables, images, out = _forward(model)
+        coords_t = jnp.zeros((2, 16, 2))
+        mask = jnp.ones((2, 16))
+
+        def loss_fn(params):
+            o = model.module.apply({"params": params}, images, train=False)
+            loss, _ = model.loss(o, coords_t, mask)
+            return loss
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+    def test_vit_rejects_bad_input_size(self):
+        model = build_mpii_pose_model(base="vit_t16", input_size=60,
+                                      dtype="float32", use_pallas=False)
+        with pytest.raises(ValueError):
+            model.init_variables(jax.random.PRNGKey(0))
+
+    def test_vit_default_input_is_2x(self):
+        model = build_mpii_pose_model(base="vit_s16")
+        assert model.image_specs.size == 448
