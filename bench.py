@@ -43,6 +43,15 @@ def _baseline_ips() -> float:
 
 
 def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
+    """Two-point, fetch-forced measurement.
+
+    On remote/tunneled PJRT transports ``block_until_ready`` can return
+    before device execution completes, inflating naive timings by orders of
+    magnitude (observed on this image's axon tunnel).  Only a VALUE fetch
+    (``jax.device_get``) is a true execution barrier.  We therefore time two
+    runs of N and 2N chained steps, each ending in a scalar fetch, and report
+    the marginal per-step time — immune to fixed dispatch/fetch overheads.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -70,18 +79,25 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
 
     for _ in range(warmup):
         state, metrics = train_step(state, batch_arrays)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # true execution barrier
 
-    t0 = time.time()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch_arrays)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.time() - t0
-    return batch * iters / dt
+    def timed(n):
+        nonlocal state
+        t0 = time.time()
+        m = None
+        for _ in range(n):
+            state, m = train_step(state, batch_arrays)
+        float(jax.device_get(m["loss"]))
+        return time.time() - t0
+
+    t1 = timed(iters)
+    t2 = timed(2 * iters)
+    per_step = (t2 - t1) / iters
+    return batch / per_step
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))  # throughput peak on v5e (memory-bound workload)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     ips = measure_tpu(batch=batch, iters=iters)
     base = _baseline_ips()

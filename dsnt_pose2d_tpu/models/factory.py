@@ -46,7 +46,7 @@ class PoseNet(nn.Module):
             raw = HourglassNet(
                 num_stacks=num_stacks, num_joints=cfg.num_joints,
                 features=cfg.hg_features, depth=cfg.hg_depth, dtype=dtype,
-                name="backbone")(images, train)
+                remat=cfg.remat, name="backbone")(images, train)
         elif cfg.base in RESNET_SPECS:
             raw = ResNetPose(
                 arch=cfg.base, num_joints=cfg.num_joints, dilate=cfg.dilate,
@@ -55,7 +55,8 @@ class PoseNet(nn.Module):
             dim, depth, heads = VIT_SPECS[cfg.base]
             raw = ViTPose(
                 num_joints=cfg.num_joints, dim=dim, depth=depth,
-                num_heads=heads, dtype=dtype, name="backbone")(images, train)
+                num_heads=heads, dtype=dtype, remat=cfg.remat,
+                name="backbone")(images, train)
         else:
             raise ValueError(f"unknown base model {cfg.base!r}")
 

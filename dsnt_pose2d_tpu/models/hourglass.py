@@ -99,6 +99,7 @@ class HourglassNet(nn.Module):
     features: int = 256
     depth: int = 4
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -118,9 +119,10 @@ class HourglassNet(nn.Module):
         x = Bottleneck(planes, dtype=self.dtype, name="stem_res3")(x, train)
 
         scores = []
+        hg_cls = nn.remat(Hourglass, static_argnums=(2,)) if self.remat else Hourglass
         for i in range(self.num_stacks):
-            y = Hourglass(self.depth, self.features, dtype=self.dtype,
-                          name=f"hg{i}")(x, train)
+            y = hg_cls(self.depth, self.features, dtype=self.dtype,
+                       name=f"hg{i}")(x, train)
             y = Bottleneck(planes, dtype=self.dtype, name=f"post_res{i}")(y, train)
             y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"fc{i}_conv")(y)

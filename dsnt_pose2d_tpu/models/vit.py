@@ -61,6 +61,7 @@ class ViTPose(nn.Module):
     depth: int = 12
     num_heads: int = 6
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,9 +79,10 @@ class ViTPose(nn.Module):
                          (g, self.dim), jnp.float32)
         x = x + (row[:, None, :] + col[None, :, :]).astype(self.dtype)
         x = x.reshape(b, g * g, self.dim)
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.num_heads, dtype=self.dtype,
-                         name=f"block{i}")(x)
+            x = block_cls(self.dim, self.num_heads, dtype=self.dtype,
+                          name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(x)
         x = x.reshape(b, g, g, self.dim).astype(self.dtype)
         # Stride-8 heatmaps: 2x upsample + refine + score.

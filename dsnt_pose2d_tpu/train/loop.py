@@ -60,6 +60,19 @@ def _dump_samples(sample_dir: str, epoch: int, batch: dict,
 def make_step_fns(model: PoseModel, cfg: Config, mesh,
                   steps_per_epoch: int = 1):
     """Build (train_step, eval_step), jitted with mesh shardings."""
+    train_step, eval_step = _build_step_bodies(model, cfg, steps_per_epoch)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    train_jit = jax.jit(train_step, in_shardings=(repl, bsh),
+                        out_shardings=repl,
+                        donate_argnums=(0,) if cfg.train.donate else ())
+    eval_jit = jax.jit(eval_step, in_shardings=(repl, bsh),
+                       out_shardings=repl)
+    return train_jit, eval_jit
+
+
+def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
+    """Raw (un-jitted) step bodies; composed by make_step_fns/make_multi_step."""
     tx = make_optimizer(cfg.optim, steps_per_epoch)
     in_size = model.image_specs.size
     data_cfg = cfg.data
@@ -131,14 +144,38 @@ def make_step_fns(model: PoseModel, cfg: Config, mesh,
         return {"loss": loss, "pckh_correct": correct, "pckh_total": total,
                 "pred_orig": pred_orig}
 
+    return train_step, eval_step
+
+
+def make_multi_step(model: PoseModel, cfg: Config, mesh,
+                    steps_per_epoch: int = 1):
+    """A k-step train function: ``lax.scan`` over a stacked super-batch.
+
+    One host dispatch drives k optimizer steps entirely on device — the
+    TPU-native way to amortize per-call dispatch latency (significant over
+    remote/tunnel transports and at small step times).  The super-batch dict
+    carries a leading ``k`` axis on every array; metrics come back stacked
+    ``(k,)``.  Numerics are identical to k sequential ``train_step`` calls.
+    """
+    train_step, _ = _build_step_bodies(model, cfg, steps_per_epoch)
+
+    def multi_step(state, super_batch):
+        def body(carry, batch):
+            new_state, metrics = train_step(carry, batch)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, super_batch)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
     repl = replicated(mesh)
-    bsh = batch_sharding(mesh)
-    train_jit = jax.jit(train_step, in_shardings=(repl, bsh),
-                        out_shardings=repl,
-                        donate_argnums=(0,) if cfg.train.donate else ())
-    eval_jit = jax.jit(eval_step, in_shardings=(repl, bsh),
-                       out_shardings=repl)
-    return train_jit, eval_jit
+    # Super-batch: axis 0 = step, axis 1 = (sharded) batch.
+    sbsh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(multi_step, in_shardings=(repl, sbsh),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if cfg.train.donate else ())
 
 
 @dataclass

@@ -54,6 +54,10 @@ class ModelConfig:
     use_pallas: bool = True
     # Backbone compute dtype; params stay fp32, head math always fp32.
     dtype: str = "bfloat16"
+    # Rematerialize each hourglass stack / ViT block on the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory, letting
+    # batch sizes ~2x larger fit HBM.
+    remat: bool = False
     # Architecture-scale knobs (reference values by default; shrink for CI).
     hg_features: int = 256
     hg_depth: int = 4

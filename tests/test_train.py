@@ -198,3 +198,40 @@ def test_flip_eval_consistency():
     out = eval_step(state, shard_batch(mesh, data))
     assert np.all(np.isfinite(np.asarray(jax.device_get(out["pred_orig"]))))
     assert float(out["pckh_total"].sum()) > 0
+
+
+def test_multi_step_matches_sequential():
+    from dsnt_pose2d_tpu.train.loop import make_multi_step
+
+    cfg = tiny_config()
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    train_step, _ = make_step_fns(model, cfg, mesh)
+    multi = make_multi_step(model, cfg, mesh)
+
+    def fresh_state():
+        s = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+        return jax.device_put(s, replicated(mesh))
+
+    k = 3
+    batches = [make_synthetic_mpii(8, canvas_size=48, seed=10 + i) for i in range(k)]
+
+    # Sequential.
+    s1 = fresh_state()
+    seq_losses = []
+    for b in batches:
+        s1, m = train_step(s1, shard_batch(mesh, b))
+        seq_losses.append(float(jax.device_get(m["loss"])))
+
+    # Scanned: stack along a leading step axis.
+    super_batch = {key: np.stack([np.asarray(b[key]) for b in batches])
+                   for key in batches[0]}
+    s2 = fresh_state()
+    s2, ms = multi(s2, jax.device_put(super_batch))
+    scan_losses = [float(x) for x in np.asarray(jax.device_get(ms["loss"]))]
+
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=2e-5)
+    a = jax.tree_util.tree_leaves(jax.device_get(s1.params))[0]
+    b = jax.tree_util.tree_leaves(jax.device_get(s2.params))[0]
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
