@@ -57,6 +57,11 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--synthetic-size", type=int, default=256)
     g.add_argument("--canvas-size", type=int, default=0,
                    help="host canvas px (0 = auto)")
+    g.add_argument("--workers", type=int, default=1,
+                   help="loader sample-fetch threads (native decode is GIL-free)")
+    g.add_argument("--pretrained-resnet", default="",
+                   help="torchvision ResNet state_dict (.pth/.npz) to "
+                        "initialize the ResNet backbone from")
 
 
 def add_train_args(p: argparse.ArgumentParser):
@@ -86,7 +91,9 @@ def config_from_args(args) -> Config:
     data = DataConfig(
         data_dir=args.data_dir, source=args.data_source,
         synthetic_size=args.synthetic_size,
-        canvas_size=getattr(args, "canvas_size", 0))
+        canvas_size=getattr(args, "canvas_size", 0),
+        workers=getattr(args, "workers", 1),
+        pretrained_resnet=getattr(args, "pretrained_resnet", ""))
     optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,
                         schedule=getattr(args, "schedule", "step"))
     train = TrainConfig(
@@ -127,10 +134,11 @@ def make_loaders(cfg: Config, train_ds, val_ds):
     import jax
 
     nh, hid = jax.process_count(), jax.process_index()
+    workers = getattr(cfg.data, "workers", 1)
     train_loader = ShardedLoader(
         train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
-        num_hosts=nh, host_id=hid)
+        num_hosts=nh, host_id=hid, workers=workers)
     val_loader = ShardedLoader(
         val_ds, cfg.train.batch_size, shuffle=False, num_hosts=nh,
-        host_id=hid, drop_last=False)
+        host_id=hid, drop_last=False, workers=workers)
     return train_loader, val_loader

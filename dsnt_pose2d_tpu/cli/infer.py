@@ -22,7 +22,8 @@ def main(argv=None):
     p.add_argument("--model-dir", required=True)
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--subset", default="val", choices=["train", "val", "test"])
-    p.add_argument("--preds-file", default="preds.h5")
+    p.add_argument("--preds-file", default="preds.h5",
+                   help=".h5 or .mat output (layout for eval-mpii-pose)")
     add_data_args(p)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -54,10 +55,15 @@ def main(argv=None):
         preds.append(np.asarray(jax.device_get(out["pred_orig"])))
     preds = np.concatenate(preds)[:len(ds)]
 
-    import h5py
+    if args.preds_file.endswith(".mat"):
+        from scipy.io import savemat
 
-    with h5py.File(args.preds_file, "w") as f:
-        f.create_dataset("preds", data=preds)
+        savemat(args.preds_file, {"preds": preds})
+    else:
+        import h5py
+
+        with h5py.File(args.preds_file, "w") as f:
+            f.create_dataset("preds", data=preds)
     print(f"wrote {preds.shape} predictions to {args.preds_file}")
     return 0
 

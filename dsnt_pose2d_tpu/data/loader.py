@@ -52,7 +52,7 @@ def prefetch_to_device(batch_iter, mesh, depth: int = 2):
 class ShardedLoader:
     def __init__(self, dataset, global_batch_size: int, *, shuffle: bool,
                  seed: int = 0, num_hosts: int = 1, host_id: int = 0,
-                 drop_last: bool = True, prefetch: int = 2):
+                 drop_last: bool = True, prefetch: int = 2, workers: int = 1):
         if global_batch_size % num_hosts:
             raise ValueError("global batch size must divide across hosts")
         self.dataset = dataset
@@ -64,6 +64,10 @@ class ShardedLoader:
         self.host_id = host_id
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Sample-fetch thread pool: the hot path (native JPEG decode + crop)
+        # releases the GIL, so threads scale across host cores without the
+        # reference's fork/IPC worker processes.
+        self.workers = max(1, workers)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -92,19 +96,33 @@ class ShardedLoader:
         bs = self.local_batch_size
         starts = range(start_step * bs, len(idx) - (bs - 1 if self.drop_last else 0), bs)
 
+        pool = None
+        if self.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.workers)
+
+        def fetch(indices):
+            if pool is not None:
+                return list(pool.map(self.dataset.__getitem__,
+                                     [int(i) for i in indices]))
+            return [self.dataset[int(i)] for i in indices]
+
         def produce(q: queue.Queue):
             try:
                 for s in starts:
                     chunk = idx[s:s + bs]
                     pad = bs - len(chunk)
-                    batch = _collate([self.dataset[int(i)] for i in chunk] +
-                                     [self.dataset[int(chunk[-1])]] * pad)
+                    samples = fetch(chunk)
+                    batch = _collate(samples + [samples[-1]] * pad)
                     if pad and "mask" in batch:
                         batch["mask"] = batch["mask"].copy()
                         batch["mask"][-pad:] = 0.0
                     q.put(batch)
             finally:
                 q.put(None)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)

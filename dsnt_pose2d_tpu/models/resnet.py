@@ -44,11 +44,14 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name)
         d = (self.dilation, self.dilation)
+        # Explicit symmetric padding (torch convention): flax 'SAME' pads
+        # asymmetrically under stride 2, which breaks imported-weight parity.
+        pad3 = ((self.dilation, self.dilation),) * 2
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    kernel_dilation=d, padding="SAME", use_bias=False,
+                    kernel_dilation=d, padding=pad3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.planes, (3, 3), kernel_dilation=d, padding="SAME",
+        y = nn.Conv(self.planes, (3, 3), kernel_dilation=d, padding=pad3,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if x.shape[-1] != self.planes or self.stride != 1:
@@ -75,7 +78,8 @@ class BottleneckBlock(nn.Module):
         y = nn.relu(norm("bn1")(y))
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     kernel_dilation=(self.dilation, self.dilation),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=((self.dilation, self.dilation),) * 2,
+                    use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
@@ -113,10 +117,11 @@ class ResNetPose(nn.Module):
             dtype=self.dtype, name=name)
 
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.relu(norm("stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         dilation = 1
         for stage in range(num_stages):

@@ -202,6 +202,21 @@ class Trainer:
             self.model, self.cfg.optim, rng,
             batch_size=max(2, len(self.mesh.devices.flat)),
             steps_per_epoch=max(self.train_loader.steps_per_epoch, 1))
+        pretrained = getattr(self.cfg.data, "pretrained_resnet", "")
+        if pretrained and self.model.cfg.base.startswith("resnet"):
+            from ..models.import_torch import load_torchvision_resnet
+
+            if pretrained.endswith(".npz"):
+                sd = dict(np.load(pretrained))
+            else:
+                import torch
+
+                sd = torch.load(pretrained, map_location="cpu",
+                                weights_only=True)
+            variables = load_torchvision_resnet(
+                {"params": state.params, "batch_stats": state.batch_stats}, sd)
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
         return jax.device_put(state, replicated(self.mesh))
 
     def run(self, state: TrainState | None = None, start_epoch: int = 0):

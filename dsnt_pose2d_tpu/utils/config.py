@@ -121,6 +121,10 @@ class DataConfig:
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
     synthetic_size: int = 256  # samples in the synthetic fixture
+    workers: int = 1  # loader sample-fetch threads (GIL-free native decode)
+    # Optional torchvision ResNet state_dict (.pth/.npz) to initialize the
+    # ResNet backbone from (ImageNet-pretrained, reference C7 parity).
+    pretrained_resnet: str = ""
 
 
 @dataclass(frozen=True)
