@@ -15,8 +15,12 @@ import os
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# DSNT_TEST_TPU=1 runs the suite on the real chip (e.g. to exercise the
+# compiled Pallas kernels instead of interpreter mode); default is CPU with
+# 8 virtual devices.
+if os.environ.get("DSNT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Watchdog: dumps stacks if anything still stalls (evidence for env flakes).
 faulthandler.dump_traceback_later(600, repeat=True, file=open(os.devnull, "w"))
