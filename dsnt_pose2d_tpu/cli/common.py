@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import os
 
 from ..data import ArrayDataset, MPIIDataset, ShardedLoader, make_synthetic_mpii

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import MPII_JOINT_NAMES
+
 
 # Reporting groups of the MPII PCKh table.
 JOINT_GROUPS = {

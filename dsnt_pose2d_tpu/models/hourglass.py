@@ -12,7 +12,7 @@ compute dtype with fp32 parameters/batch-stats.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

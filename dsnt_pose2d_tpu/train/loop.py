@@ -16,8 +16,8 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..data.loader import prefetch_to_device
 from ..data.transforms import transform_coords
 from ..evaluation.pckh import PCKhEvaluator, pckh_batch_counts
 from ..models.factory import PoseModel
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import batch_sharding, replicated, shard_batch
 from ..utils.config import Config
 from .state import TrainState, create_train_state, make_optimizer
 
