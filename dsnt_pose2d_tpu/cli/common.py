@@ -78,6 +78,8 @@ def add_train_args(p: argparse.ArgumentParser):
     g.add_argument("--experiment-id", default="")
     g.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in out-dir")
+    g.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps per host dispatch (lax.scan)")
 
 
 def config_from_args(args) -> Config:
@@ -98,7 +100,8 @@ def config_from_args(args) -> Config:
                         schedule=getattr(args, "schedule", "step"))
     train = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-        out_dir=args.out_dir, experiment_id=args.experiment_id)
+        out_dir=args.out_dir, experiment_id=args.experiment_id,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1))
     return Config(model=model, optim=optim, data=data, train=train)
 
 

@@ -195,6 +195,11 @@ class Trainer:
         self.train_step, self.eval_step = make_step_fns(
             self.model, self.cfg, self.mesh,
             max(self.train_loader.steps_per_epoch, 1))
+        self.multi_step = None
+        if self.cfg.train.steps_per_dispatch > 1:
+            self.multi_step = make_multi_step(
+                self.model, self.cfg, self.mesh,
+                max(self.train_loader.steps_per_epoch, 1))
 
     def init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
@@ -225,17 +230,44 @@ class Trainer:
             state = self.init_state()
         best_pckh = -1.0
         local_bs = self.train_loader.local_batch_size
+        k_dispatch = max(cfg.train.steps_per_dispatch, 1)
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             losses = []
-            batches = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
-            for step, batch in enumerate(batches):
-                state, metrics = self.train_step(state, batch)
-                losses.append(metrics["loss"])
-                if self.metric_writer and step % cfg.train.log_every_steps == 0:
-                    self.metric_writer.write(
-                        {"epoch": epoch, "step": int(jax.device_get(state.step)),
-                         **{k: float(jax.device_get(v)) for k, v in metrics.items()}})
+            if self.multi_step is not None:
+                import itertools
+
+                it = iter(self.train_loader.epoch(epoch))
+                while True:
+                    group = list(itertools.islice(it, k_dispatch))
+                    if not group:
+                        break
+                    if len(group) < k_dispatch:
+                        # Ragged tail: finish with single steps.
+                        for batch in group:
+                            state, m = self.train_step(
+                                state, shard_batch(self.mesh, batch))
+                            losses.append(m["loss"])
+                        break
+                    sb = {key: np.stack([b[key] for b in group])
+                          for key in group[0]}
+                    state, ms = self.multi_step(state, sb)
+                    losses.extend([ms["loss"][i] for i in range(k_dispatch)])
+                    if self.metric_writer:
+                        self.metric_writer.write(
+                            {"epoch": epoch,
+                             "step": int(jax.device_get(state.step)),
+                             "loss": float(jax.device_get(ms["loss"][-1]))})
+            else:
+                batches = prefetch_to_device(self.train_loader.epoch(epoch),
+                                             self.mesh)
+                for step, batch in enumerate(batches):
+                    state, metrics = self.train_step(state, batch)
+                    losses.append(metrics["loss"])
+                    if self.metric_writer and step % cfg.train.log_every_steps == 0:
+                        self.metric_writer.write(
+                            {"epoch": epoch, "step": int(jax.device_get(state.step)),
+                             **{k: float(jax.device_get(v)) for k, v in metrics.items()}})
             n_steps = len(losses)
             jax.block_until_ready(state.params)
             epoch_time = time.time() - t0

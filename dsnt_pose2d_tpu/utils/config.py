@@ -142,6 +142,9 @@ class TrainConfig:
     # Eval-time horizontal-flip averaging (reference evaluate.py option):
     # average decoded coords with the unflipped ones from a mirrored pass.
     flip_eval: bool = False
+    # Optimizer steps per host dispatch (lax.scan over a stacked super-batch);
+    # >1 amortizes host/transport latency. Numerics identical to 1.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -235,3 +235,23 @@ def test_multi_step_matches_sequential():
     a = jax.tree_util.tree_leaves(jax.device_get(s1.params))[0]
     b = jax.tree_util.tree_leaves(jax.device_get(s2.params))[0]
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_trainer_steps_per_dispatch(tmp_path):
+    import dataclasses
+
+    cfg = tiny_config(epochs=1, eval_every_epochs=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_dispatch=2,
+                                       donate=True))
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    # 5 batches of 8 from 40 samples: two scan dispatches + one ragged single.
+    ds = ArrayDataset(make_synthetic_mpii(40, canvas_size=48, seed=8))
+    train_loader = ShardedLoader(ds, 8, shuffle=True, seed=0)
+    val_loader = ShardedLoader(ds, 8, shuffle=False, drop_last=False)
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=train_loader, val_loader=val_loader)
+    state, best = trainer.run()
+    assert int(jax.device_get(state.step)) == 5
+    assert 0.0 <= best <= 1.0
