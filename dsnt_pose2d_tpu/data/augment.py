@@ -74,7 +74,7 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
 @partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
 def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
                      canvas_from_orig, cfg: DataConfig, out_size: int,
-                     train: bool):
+                     train: bool, canvas_margin=None):
     """The fused preprocessing graph.
 
     Args:
@@ -112,13 +112,17 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
         scale = jnp.ones((b,))
         flip = jnp.zeros((b,), jnp.bool_)
 
-    # Canvas -> crop affine: the canvas is itself a person-centric square, so
-    # the crop maps its full extent to out_size, with rotation/scale about its
-    # center and optional mirror.  (Canvas "scale" in crop_transform units:
-    # the canvas side corresponds to the scale*200 box by construction.)
+    # Canvas -> crop affine: the canvas is a person-centric square holding the
+    # person box in its central 1/canvas_margin; at scale_aug = 1 the crop
+    # maps exactly that box (side canvas/margin) to out_size — the reference's
+    # framing — with rotation/scale about the center and optional mirror.
+    if canvas_margin is None:
+        margin = jnp.ones((b,), jnp.float32)
+    else:
+        margin = jnp.asarray(canvas_margin, jnp.float32).reshape(b)
     center = jnp.full((b, 2), (c_size - 1) / 2.0)
     m_crop_from_canvas = T.crop_transform(
-        center, jnp.full((b,), c_size / T.MPII_SCALE_BOX_PX), out_size,
+        center, (c_size / margin) / T.MPII_SCALE_BOX_PX, out_size,
         rot_rad=rot, scale_aug=scale, flip=flip)
 
     warped = jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(

@@ -147,6 +147,10 @@ class MPIIDataset:
             "mask": a.visible[i].astype(np.float32),
             "head_length": np.float32(a.head_lengths[i]),
             "canvas_from_orig": canvas_from_orig,
+            # The person box (scale*200 px) occupies the central
+            # 1/canvas_margin of the canvas; the device crop maps THAT box
+            # (not the whole canvas) to the model input at scale_aug = 1.
+            "canvas_margin": np.float32(self.canvas_margin),
         }
 
 

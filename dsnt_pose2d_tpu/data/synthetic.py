@@ -60,4 +60,6 @@ def make_synthetic_mpii(num_samples: int, canvas_size: int = 96,
         "mask": mask,
         "head_length": head_length,
         "canvas_from_orig": eye,
+        # The synthetic canvas IS the annotation region (no crop headroom).
+        "canvas_margin": np.ones((num_samples,), np.float32),
     }

@@ -81,7 +81,7 @@ def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
         return preprocess_batch(
             key, batch["canvases"], batch["coords_px"], batch["mask"],
             batch["head_length"], batch["canvas_from_orig"], data_cfg,
-            in_size, train)
+            in_size, train, canvas_margin=batch.get("canvas_margin"))
 
     def train_step(state: TrainState, batch):
         aug_key = jax.random.fold_in(state.rng, state.step)

@@ -194,3 +194,39 @@ class TestLoader:
         assert d["mask"].shape == (3, 16)
         assert d["canvas_from_orig"].shape == (3, 3, 3)
         assert d["canvases"].min() >= 0 and d["canvases"].max() <= 1
+
+
+class TestCanvasMargin:
+    def test_person_box_fills_crop(self):
+        # With canvas_margin m, the central (canvas/m) person box must map to
+        # the full crop at scale_aug=1: a joint at the box's right edge lands
+        # at normalized x = +1 exactly.
+        c, out, m = 96, 32, 1.5
+        d = make_synthetic_mpii(2, canvas_size=c, seed=0)
+        center = (c - 1) / 2.0
+        half_box = c / (2 * m)
+        d["coords_px"] = np.tile(
+            np.asarray([[center + half_box, center]], np.float32), (2, 16, 1)
+        ).reshape(2, 16, 2)
+        d["canvas_margin"] = np.full((2,), m, np.float32)
+        out_d = preprocess_batch(
+            jax.random.PRNGKey(0), jnp.asarray(d["canvases"]),
+            jnp.asarray(d["coords_px"]), jnp.asarray(d["mask"]),
+            jnp.asarray(d["head_length"]), jnp.asarray(d["canvas_from_orig"]),
+            CFG, out, False, canvas_margin=jnp.asarray(d["canvas_margin"]))
+        np.testing.assert_allclose(out_d["coords"][:, :, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(out_d["coords"][:, :, 1], 0.0, atol=1e-5)
+
+    def test_margin_one_is_full_canvas(self):
+        # margin=1 (synthetic default): canvas edge maps to crop edge.
+        c, out = 48, 32
+        d = make_synthetic_mpii(1, canvas_size=c, seed=0)
+        d["coords_px"] = np.tile(
+            np.asarray([[c - 0.5, (c - 1) / 2.0]], np.float32), (1, 16, 1)
+        ).reshape(1, 16, 2)
+        out_d = preprocess_batch(
+            jax.random.PRNGKey(0), jnp.asarray(d["canvases"]),
+            jnp.asarray(d["coords_px"]), jnp.asarray(d["mask"]),
+            jnp.asarray(d["head_length"]), jnp.asarray(d["canvas_from_orig"]),
+            CFG, out, False, canvas_margin=jnp.asarray(d["canvas_margin"]))
+        np.testing.assert_allclose(out_d["coords"][:, :, 0], 1.0, atol=1e-5)
