@@ -37,8 +37,16 @@ def main(argv=None):
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()
-    train_ds, val_ds = make_datasets(cfg)
-    ds = val_ds if args.subset != "train" else train_ds
+    if args.subset == "test":
+        # The held-out MPII test split (labels withheld upstream; predictions
+        # go to the external MATLAB harness).
+        from ..data import MPIIDataset
+
+        ds = MPIIDataset(cfg.data.data_dir, "test",
+                         canvas_size=cfg.data.canvas_size or 384)
+    else:
+        train_ds, val_ds = make_datasets(cfg)
+        ds = val_ds if args.subset != "train" else train_ds
     _, loader = make_loaders(cfg, ds, ds)
 
     trainer = Trainer(model=model, cfg=cfg, mesh=mesh,

@@ -99,11 +99,14 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
     else:
         canvas = canvas.astype(jnp.float32)
 
-    k_rot, k_scale, k_flip, k_jit = jax.random.split(key, 4)
+    k_rot, k_scale, k_flip, k_jit, k_rotp = jax.random.split(key, 5)
     if train:
         rot = jax.random.uniform(
             k_rot, (b,), minval=-cfg.max_rotation_deg, maxval=cfg.max_rotation_deg
         ) * (jnp.pi / 180.0)
+        if cfg.rotation_prob < 1.0:
+            apply_rot = jax.random.bernoulli(k_rotp, cfg.rotation_prob, (b,))
+            rot = jnp.where(apply_rot, rot, 0.0)
         scale = jax.random.uniform(
             k_scale, (b,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
         flip = jax.random.bernoulli(k_flip, cfg.flip_prob, (b,))

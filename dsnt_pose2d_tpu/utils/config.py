@@ -114,6 +114,9 @@ class DataConfig:
     canvas_size: int = 0
     # Augmentation (reference values, SURVEY.md C11).
     max_rotation_deg: float = 30.0
+    # Probability of applying rotation at all (hourglass-lineage training
+    # rotates only a fraction of samples; 1.0 = always).
+    rotation_prob: float = 1.0
     scale_range: tuple[float, float] = (0.75, 1.25)
     flip_prob: float = 0.5
     color_jitter: float = 0.2  # per-channel scale in U(1-j, 1+j); 0 = off

@@ -230,3 +230,22 @@ class TestCanvasMargin:
             jnp.asarray(d["head_length"]), jnp.asarray(d["canvas_from_orig"]),
             CFG, out, False, canvas_margin=jnp.asarray(d["canvas_margin"]))
         np.testing.assert_allclose(out_d["coords"][:, :, 0], 1.0, atol=1e-5)
+
+
+def test_rotation_prob_zero_means_no_rotation():
+    import dataclasses
+
+    d = {k: jnp.asarray(v) for k, v in make_synthetic_mpii(4, canvas_size=48, seed=1).items()}
+    cfg0 = dataclasses.replace(CFG, rotation_prob=0.0, flip_prob=0.0,
+                               scale_range=(1.0, 1.0), color_jitter=0.0)
+    train_out = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                                 d["coords_px"], d["mask"], d["head_length"],
+                                 d["canvas_from_orig"], cfg0, 32, True,
+                                 canvas_margin=d["canvas_margin"])
+    eval_out = preprocess_batch(jax.random.PRNGKey(0), d["canvases"],
+                                d["coords_px"], d["mask"], d["head_length"],
+                                d["canvas_from_orig"], cfg0, 32, False,
+                                canvas_margin=d["canvas_margin"])
+    # All augmentation disabled => train path equals the deterministic path.
+    np.testing.assert_allclose(train_out["coords"], eval_out["coords"], atol=1e-6)
+    np.testing.assert_allclose(train_out["images"], eval_out["images"], atol=1e-6)
