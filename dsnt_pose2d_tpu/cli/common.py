@@ -123,9 +123,17 @@ def make_datasets(cfg: Config):
             for p in ("annot", "annot.h5", "train.h5"))
         src = "h5" if has_mpii else "synthetic"
     if src == "h5":
+        from .. data.pack import PackedDataset, packed_available
+
         canvas = cfg.data.canvas_size or 384
-        return (MPIIDataset(cfg.data.data_dir, "train", canvas_size=canvas),
-                MPIIDataset(cfg.data.data_dir, "val", canvas_size=canvas))
+        packed = os.path.join(cfg.data.data_dir, "packed")
+
+        def split(name):
+            if packed_available(cfg.data.data_dir, name):
+                return PackedDataset(packed, name)
+            return MPIIDataset(cfg.data.data_dir, name, canvas_size=canvas)
+
+        return split("train"), split("val")
     n = cfg.data.synthetic_size
     canvas = cfg.data.canvas_size or 96
     return (ArrayDataset(make_synthetic_mpii(n, canvas_size=canvas, seed=1)),

@@ -119,8 +119,10 @@ class ShardedLoader:
                         batch["mask"] = batch["mask"].copy()
                         batch["mask"][-pad:] = 0.0
                     q.put(batch)
-            finally:
                 q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+            finally:
                 if pool is not None:
                     pool.shutdown(wait=False)
 
@@ -131,4 +133,6 @@ class ShardedLoader:
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch

@@ -1,0 +1,119 @@
+"""Pack an MPII split into a memory-mapped canvas archive.
+
+Host JPEG decode is the end-to-end bottleneck for real-MPII training on small
+hosts (the v5e chip consumes ~280 img/s while one CPU core decodes <1 img/s).
+Packing precomputes every sample's fixed-size canvas ONCE:
+
+    python -m dsnt_pose2d_tpu.data.pack --data-dir data/mpii --subset train
+
+writes ``<data_dir>/packed/<subset>_canvases.npy`` (uint8, memory-mappable)
+plus ``<subset>_meta.npz`` (coords/mask/head_length/affines/margin).  At train
+time :class:`PackedDataset` serves samples by mmap slice — no decode, no
+resize, just a page-cache read — and the loaders/augmentation are unchanged
+(augmentation stays on device, so packing loses no randomness).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+CANVAS_FILE = "{subset}_canvases.npy"
+META_FILE = "{subset}_meta.npz"
+
+
+def pack_split(data_dir: str, subset: str, canvas_size: int = 384,
+               canvas_margin: float = 1.5, out_dir: str | None = None,
+               workers: int = 0) -> str:
+    """Precompute all canvases for a split; returns the output directory."""
+    from .mpii import MPIIDataset
+
+    ds = MPIIDataset(data_dir, subset, canvas_size=canvas_size,
+                     canvas_margin=canvas_margin)
+    out_dir = out_dir or os.path.join(data_dir, "packed")
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(ds)
+
+    canvases = np.lib.format.open_memmap(
+        os.path.join(out_dir, CANVAS_FILE.format(subset=subset)), mode="w+",
+        dtype=np.uint8, shape=(n, canvas_size, canvas_size, 3))
+    coords = np.zeros((n, 16, 2), np.float32)
+    mask = np.zeros((n, 16), np.float32)
+    head = np.zeros((n,), np.float32)
+    affines = np.zeros((n, 3, 3), np.float32)
+    margins = np.zeros((n,), np.float32)
+
+    def fill(i):
+        s = ds[i]
+        canvases[i] = s["canvases"]
+        coords[i] = s["coords_px"]
+        mask[i] = s["mask"]
+        head[i] = s["head_length"]
+        affines[i] = s["canvas_from_orig"]
+        margins[i] = s["canvas_margin"]
+
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(fill, range(n)))
+    else:
+        for i in range(n):
+            fill(i)
+
+    canvases.flush()
+    np.savez(os.path.join(out_dir, META_FILE.format(subset=subset)),
+             coords_px=coords, mask=mask, head_length=head,
+             canvas_from_orig=affines, canvas_margin=margins)
+    return out_dir
+
+
+class PackedDataset:
+    """mmap-backed canvas dataset: the zero-decode train-time reader."""
+
+    def __init__(self, packed_dir: str, subset: str):
+        self.canvases = np.load(
+            os.path.join(packed_dir, CANVAS_FILE.format(subset=subset)),
+            mmap_mode="r")
+        meta = np.load(os.path.join(packed_dir, META_FILE.format(subset=subset)))
+        self.meta = {k: meta[k] for k in meta.files}
+
+    def __len__(self):
+        return len(self.canvases)
+
+    def __getitem__(self, i: int) -> dict:
+        return {
+            "canvases": np.asarray(self.canvases[i]),
+            "coords_px": self.meta["coords_px"][i],
+            "mask": self.meta["mask"][i],
+            "head_length": self.meta["head_length"][i],
+            "canvas_from_orig": self.meta["canvas_from_orig"][i],
+            "canvas_margin": self.meta["canvas_margin"][i],
+        }
+
+
+def packed_available(data_dir: str, subset: str) -> bool:
+    p = os.path.join(data_dir, "packed")
+    return (os.path.exists(os.path.join(p, CANVAS_FILE.format(subset=subset)))
+            and os.path.exists(os.path.join(p, META_FILE.format(subset=subset))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dsnt-pose2d-tpu pack")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--subset", default="train",
+                   choices=["train", "val", "test"])
+    p.add_argument("--canvas-size", type=int, default=384)
+    p.add_argument("--canvas-margin", type=float, default=1.5)
+    p.add_argument("--workers", type=int, default=0)
+    args = p.parse_args(argv)
+    out = pack_split(args.data_dir, args.subset, args.canvas_size,
+                     args.canvas_margin, workers=args.workers)
+    print(f"packed {args.subset} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -249,3 +249,16 @@ def test_rotation_prob_zero_means_no_rotation():
     # All augmentation disabled => train path equals the deterministic path.
     np.testing.assert_allclose(train_out["coords"], eval_out["coords"], atol=1e-6)
     np.testing.assert_allclose(train_out["images"], eval_out["images"], atol=1e-6)
+
+
+def test_loader_propagates_producer_errors():
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise FileNotFoundError(f"missing sample {i}")
+
+    loader = ShardedLoader(Broken(), 4, shuffle=False)
+    with pytest.raises(FileNotFoundError, match="missing sample"):
+        list(loader.epoch(0))
