@@ -37,6 +37,14 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True,
                 enable_async_checkpointing=True),
         )
+        # Separate one-slot store so the best-by-val-PCKh checkpoint survives
+        # the rolling max_to_keep GC (reference keeps latest AND best).
+        self.best_mgr = ocp.CheckpointManager(
+            os.path.join(self.dir, "ckpt_best"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True,
+                enable_async_checkpointing=True),
+        )
 
     def save(self, epoch: int, state, *, is_best: bool = False,
              metrics: dict | None = None):
@@ -48,17 +56,42 @@ class CheckpointManager:
                                         "metrics": metrics or {}}),
             ),
         )
-        if is_best and jax.process_index() == 0:
-            with open(os.path.join(self.dir, BEST_STEP_FILENAME), "w") as f:
-                json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
+        if is_best:
+            self.best_mgr.save(
+                epoch,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    meta=ocp.args.JsonSave({"epoch": epoch,
+                                            "metrics": metrics or {}}),
+                ),
+            )
+            if jax.process_index() == 0:
+                with open(os.path.join(self.dir, BEST_STEP_FILENAME), "w") as f:
+                    json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
 
     def restore(self, state_template, epoch: int | None = None):
-        """Restore latest (or given epoch / recorded best) into the template."""
+        """Restore latest (or given epoch / recorded best) into the template.
+
+        A recorded best epoch may have been garbage-collected by the
+        ``max_to_keep`` policy; fall back to the latest retained checkpoint
+        rather than failing.
+        """
+        mgr = self.mgr
+        steps = set(mgr.all_steps())
+        if epoch is not None and epoch not in steps:
+            if epoch in set(self.best_mgr.all_steps()):
+                mgr = self.best_mgr  # best slot survived the rolling GC
+            else:
+                import sys
+
+                print(f"checkpoint epoch {epoch} no longer retained "
+                      f"(have {sorted(steps)}); using latest", file=sys.stderr)
+                epoch = None
         if epoch is None:
-            epoch = self.mgr.latest_step()
+            epoch = mgr.latest_step()
         if epoch is None:
             return None, None
-        restored = self.mgr.restore(
+        restored = mgr.restore(
             epoch,
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(state_template),
@@ -83,9 +116,11 @@ class CheckpointManager:
 
     def wait(self):
         self.mgr.wait_until_finished()
+        self.best_mgr.wait_until_finished()
 
     def close(self):
         self.mgr.close()
+        self.best_mgr.close()
 
 
 def load_config_from_dir(out_dir: str) -> Config:

@@ -265,3 +265,28 @@ def test_trainer_steps_per_dispatch(tmp_path):
     state, best = trainer.run()
     assert int(jax.device_get(state.step)) == 5
     assert 0.0 <= best <= 1.0
+
+
+def test_restore_falls_back_when_best_collected(tmp_path):
+    from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config(epochs=1)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    ckpt = CheckpointManager(str(tmp_path / "exp"), cfg, max_to_keep=2)
+    for epoch in range(4):
+        ckpt.save(epoch, state, is_best=(epoch == 0),
+                  metrics={"val_pckh": 0.5})
+    ckpt.wait()
+    # Epoch 0 left the rolling store (max_to_keep=2) but survives in the
+    # dedicated best slot.
+    assert ckpt.best_epoch() == 0
+    restored, meta = ckpt.restore(state, epoch=ckpt.best_epoch())
+    assert restored is not None
+    assert meta["epoch"] == 0  # served from the best store
+    # A best-less epoch that was GC'd falls back to latest.
+    restored, meta = ckpt.restore(state, epoch=1)
+    assert meta["epoch"] == 3
+    ckpt.close()
