@@ -74,15 +74,20 @@ def main(argv=None):
 
     state = None
     start_epoch = 0
+    best_pckh = -1.0
     if args.resume:
         template = trainer.init_state()
         restored, meta = ckpt.restore(template)
         if restored is not None:
             state = restored
             start_epoch = int(meta["epoch"]) + 1
+            # Seed the best-model tracker so a worse resumed model does not
+            # immediately overwrite the recorded best checkpoint.
+            best_pckh = float(ckpt.best_metrics().get("val_pckh", -1.0))
             print(f"resumed from epoch {meta['epoch']}")
 
-    state, best = trainer.run(state, start_epoch=start_epoch)
+    state, best = trainer.run(state, start_epoch=start_epoch,
+                              best_pckh=best_pckh)
     print(f"done; best val PCKh@0.5 = {100 * best:.2f}")
     writer.close()
     ckpt.close()

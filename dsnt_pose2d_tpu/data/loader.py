@@ -83,7 +83,12 @@ class ShardedLoader:
             perm = rng.permutation(n)
         else:
             perm = np.arange(n)
-        return perm[self.host_id::self.num_hosts]
+        # Truncate to a common per-host length BEFORE slicing: with
+        # n % num_hosts != 0 a raw strided slice gives hosts unequal sample
+        # counts, so hosts would dispatch different numbers of collective
+        # steps per epoch and a multi-host run would hang on the extras.
+        n_even = (n // self.num_hosts) * self.num_hosts
+        return perm[:n_even][self.host_id::self.num_hosts]
 
     def epoch(self, epoch: int, start_step: int = 0):
         """Yield host-local collated numpy batches for one epoch.

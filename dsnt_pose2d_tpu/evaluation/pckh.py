@@ -31,6 +31,10 @@ JOINT_GROUPS = {
     "ankle": (0, 5),
 }
 
+# The standard MPII "total" excludes pelvis (6) and thorax (7): it is computed
+# over the 14 joints that appear in the reporting groups above.
+TOTAL_JOINTS = tuple(sorted(i for g in JOINT_GROUPS.values() for i in g))
+
 
 def pckh_batch_counts(pred_orig_px: jnp.ndarray, true_orig_px: jnp.ndarray,
                       mask: jnp.ndarray, head_length: jnp.ndarray,
@@ -86,6 +90,18 @@ class PCKhEvaluator:
         return out
 
     def total_pckh(self) -> float:
+        """MPII-convention total: over the 14 group joints, excluding
+        pelvis (6) and thorax (7) — matches the published PCKh tables.
+        Falls back to all joints for non-MPII joint counts."""
+        ids = [i for i in TOTAL_JOINTS if i < self.num_joints]
+        if self.num_joints != 16 or not ids:
+            return self.total_pckh_all()
+        c = sum(self.correct[i] for i in ids)
+        t = sum(self.total[i] for i in ids)
+        return float(c / max(t, 1.0))
+
+    def total_pckh_all(self) -> float:
+        """Total over ALL joints (including pelvis/thorax)."""
         return float(self.correct.sum() / max(self.total.sum(), 1.0))
 
     def table(self) -> str:
@@ -93,6 +109,7 @@ class PCKhEvaluator:
         for name, v in self.groups().items():
             lines.append(f"  {name:<9s} {100 * v:6.2f}")
         lines.append(f"  {'total':<9s} {100 * self.total_pckh():6.2f}")
+        lines.append(f"  {'total16':<9s} {100 * self.total_pckh_all():6.2f}")
         return "\n".join(lines)
 
     def reset(self):

@@ -128,12 +128,18 @@ class ResNetPose(nn.Module):
             planes = 64 * (2 ** stage)
             stride = 1 if stage == 0 else 2
             # The last `dilate` stages trade their stride for dilation.
+            # torchvision semantics (replace_stride_with_dilation): the
+            # stage's FIRST block keeps the pre-doubling dilation; only the
+            # remaining blocks use the doubled one — required for imported
+            # pretrained weights to compute the same function.
+            prev_dilation = dilation
             if stage >= num_stages - self.dilate and stride == 2:
                 stride = 1
                 dilation *= 2
             for b in range(depths[stage]):
                 x = block(planes, stride=stride if b == 0 else 1,
-                          dilation=dilation, dtype=self.dtype,
+                          dilation=prev_dilation if b == 0 else dilation,
+                          dtype=self.dtype,
                           name=f"stage{stage}_block{b}")(x, train)
 
         score = nn.Conv(self.num_joints, (1, 1), dtype=self.dtype,

@@ -63,11 +63,35 @@ def shard_batch(mesh: Mesh, batch: dict):
         batch)
 
 
+_COORDINATOR_ENV_VARS = (
+    # Set by multi-host launchers; their presence means THIS process is part
+    # of a multi-process run and a failed bootstrap must be fatal.
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multihost_env_configured() -> bool:
+    import os
+
+    return any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS)
+
+
 def initialize_distributed():
-    """Multi-host bootstrap (no-op single-host); call before device queries."""
+    """Multi-host bootstrap (no-op single-host); call before device queries.
+
+    On a plain single-process run ``jax.distributed.initialize()`` raises
+    (no coordinator to find) and we proceed single-process.  But when a
+    coordinator env var IS set, this process belongs to a multi-host launch:
+    swallowing the failure would silently degrade the job to N independent
+    single-process runs that each think they're fine — re-raise instead.
+    """
     if jax.process_count() > 1:
         return  # already initialized
     try:
         jax.distributed.initialize()
     except Exception:
-        pass  # single-process / local run
+        if _multihost_env_configured():
+            raise
+        # single-process / local run

@@ -107,6 +107,14 @@ class CheckpointManager:
         with open(path) as f:
             return json.load(f)["epoch"]
 
+    def best_metrics(self) -> dict:
+        """Metrics recorded with the best checkpoint ({} if none yet)."""
+        path = os.path.join(self.dir, BEST_STEP_FILENAME)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f).get("metrics", {})
+
     def load_config(self) -> Config | None:
         path = os.path.join(self.dir, CONFIG_FILENAME)
         if not os.path.exists(path):

@@ -73,7 +73,7 @@ def make_step_fns(model: PoseModel, cfg: Config, mesh,
 
 def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
     """Raw (un-jitted) step bodies; composed by make_step_fns/make_multi_step."""
-    tx = make_optimizer(cfg.optim, steps_per_epoch)
+    tx = make_optimizer(cfg.optim, steps_per_epoch, cfg.train.epochs)
     in_size = model.image_specs.size
     data_cfg = cfg.data
 
@@ -206,7 +206,8 @@ class Trainer:
         state = create_train_state(
             self.model, self.cfg.optim, rng,
             batch_size=max(2, len(self.mesh.devices.flat)),
-            steps_per_epoch=max(self.train_loader.steps_per_epoch, 1))
+            steps_per_epoch=max(self.train_loader.steps_per_epoch, 1),
+            epochs=self.cfg.train.epochs)
         pretrained = getattr(self.cfg.data, "pretrained_resnet", "")
         if pretrained and self.model.cfg.base.startswith("resnet"):
             from ..models.import_torch import load_torchvision_resnet
@@ -224,11 +225,14 @@ class Trainer:
                                   batch_stats=variables["batch_stats"])
         return jax.device_put(state, replicated(self.mesh))
 
-    def run(self, state: TrainState | None = None, start_epoch: int = 0):
+    def run(self, state: TrainState | None = None, start_epoch: int = 0,
+            best_pckh: float = -1.0):
+        """``best_pckh`` seeds the best-model tracker; on resume pass the
+        previously recorded best so a worse resumed model does not clobber
+        the ``ckpt_best`` slot."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
-        best_pckh = -1.0
         local_bs = self.train_loader.local_batch_size
         k_dispatch = max(cfg.train.steps_per_dispatch, 1)
         for epoch in range(start_epoch, cfg.train.epochs):

@@ -21,22 +21,32 @@ class TrainState:
     rng: jax.Array
 
 
-def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
-    """Step-decay (reference: x0.1 at epochs ~60/90), or constant/cosine."""
+def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int,
+                     epochs: int = 200):
+    """Step-decay (reference: x0.1 at epochs ~60/90), or constant/cosine.
+
+    ``epochs`` is the actual run length (cfg.train.epochs) so the cosine
+    decay reaches zero exactly at the end of training.
+    """
     if cfg.schedule == "constant":
         return optax.constant_schedule(cfg.lr)
     if cfg.schedule == "cosine":
-        total = max(steps_per_epoch, 1) * 200
+        total = max(steps_per_epoch, 1) * max(epochs, 1)
         return optax.cosine_decay_schedule(cfg.lr, total)
     boundaries = {e * steps_per_epoch: cfg.lr_drop_factor for e in cfg.lr_drop_epochs}
     return optax.piecewise_constant_schedule(cfg.lr, boundaries)
 
 
-def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1):
-    sched = make_lr_schedule(cfg, steps_per_epoch)
+def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1,
+                   epochs: int = 200):
+    sched = make_lr_schedule(cfg, steps_per_epoch, epochs)
     if cfg.optimizer == "rmsprop":
-        # torch-RMSprop-compatible: alpha=decay, eps inside sqrt add.
+        # torch-RMSprop-compatible: alpha=decay, and eps added OUTSIDE the
+        # sqrt (g / (sqrt(nu) + eps)) — optax's default eps_in_sqrt=True
+        # computes g / sqrt(nu + eps), which diverges materially from torch
+        # early in training when second moments are small.
         tx = optax.rmsprop(sched, decay=cfg.rmsprop_decay, eps=cfg.eps,
+                           eps_in_sqrt=False,
                            momentum=cfg.momentum if cfg.momentum else None)
     elif cfg.optimizer == "adam":
         tx = optax.adam(sched, eps=cfg.eps)
@@ -54,10 +64,11 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1):
 
 
 def create_train_state(model, optim_cfg: OptimConfig, rng: jax.Array,
-                       batch_size: int = 1, steps_per_epoch: int = 1) -> TrainState:
+                       batch_size: int = 1, steps_per_epoch: int = 1,
+                       epochs: int = 200) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init_variables(init_rng, batch_size=batch_size)
-    tx = make_optimizer(optim_cfg, steps_per_epoch)
+    tx = make_optimizer(optim_cfg, steps_per_epoch, epochs)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

@@ -44,7 +44,9 @@ def test_evaluator_accumulates_and_groups():
     groups = ev.groups()
     assert groups["head"] == 0.5       # joints 8 (ok), 9 (wrong)
     assert groups["ankle"] == 1.0
-    np.testing.assert_allclose(ev.total_pckh(), 15 / 16)
+    # MPII-convention total excludes pelvis/thorax: 14 joints, joint 9 wrong.
+    np.testing.assert_allclose(ev.total_pckh(), 13 / 14)
+    np.testing.assert_allclose(ev.total_pckh_all(), 15 / 16)
     assert "total" in ev.table()
 
 
