@@ -5,12 +5,10 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-
 from ..models.factory import build_pose_model
 from ..parallel.mesh import initialize_distributed, make_mesh
 from ..train.checkpoint import CheckpointManager
-from ..train.loop import Trainer
+from ..train.loop import EvalDriver
 from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
 
 
@@ -55,14 +53,13 @@ def main(argv=None):
     _, val_ds = make_datasets(cfg)
     _, val_loader = make_loaders(cfg, val_ds, val_ds)
 
-    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
-                      train_loader=val_loader, val_loader=val_loader)
-    template = trainer.init_state()
+    driver = EvalDriver(model=model, cfg=cfg, mesh=mesh, loader=val_loader)
+    template = driver.init_state()
     epoch = args.epoch if args.epoch is not None else ckpt.best_epoch()
     state, meta = ckpt.restore(template, epoch=epoch)
     if state is None:
         raise SystemExit("no checkpoint found")
-    result = trainer.evaluate(state)
+    result = driver.evaluate(state)
     print(result["evaluator"].table())
     print(f"val loss {result['loss']:.5f}")
     return 0

@@ -7,13 +7,10 @@ from __future__ import annotations
 
 import argparse
 
-import jax
-import numpy as np
-
 from ..models.factory import build_pose_model
-from ..parallel.mesh import initialize_distributed, make_mesh, shard_batch
+from ..parallel.mesh import initialize_distributed, make_mesh
 from ..train.checkpoint import CheckpointManager
-from ..train.loop import Trainer
+from ..train.loop import EvalDriver
 from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
 
 
@@ -49,19 +46,14 @@ def main(argv=None):
         ds = val_ds if args.subset != "train" else train_ds
     _, loader = make_loaders(cfg, ds, ds)
 
-    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
-                      train_loader=loader, val_loader=loader)
-    template = trainer.init_state()
+    driver = EvalDriver(model=model, cfg=cfg, mesh=mesh, loader=loader)
+    template = driver.init_state()
     epoch = args.epoch if args.epoch is not None else ckpt.best_epoch()
     state, _ = ckpt.restore(template, epoch=epoch)
     if state is None:
         raise SystemExit("no checkpoint found")
 
-    preds = []
-    for batch in loader.epoch(0):
-        out = trainer.eval_step(state, shard_batch(mesh, batch))
-        preds.append(np.asarray(jax.device_get(out["pred_orig"])))
-    preds = np.concatenate(preds)[:len(ds)]
+    preds = driver.predict(state)[:len(ds)]
 
     if args.preds_file.endswith(".mat"):
         from scipy.io import savemat

@@ -74,20 +74,27 @@ def main(argv=None):
 
     state = None
     start_epoch = 0
+    start_step = 0
     best_pckh = -1.0
     if args.resume:
         template = trainer.init_state()
-        restored, meta = ckpt.restore(template)
+        restored, meta = ckpt.restore_latest(template)
         if restored is not None:
             state = restored
-            start_epoch = int(meta["epoch"]) + 1
+            if meta.get("step_in_epoch", 0):
+                # Mid-epoch save: re-enter the same epoch at the offset.
+                start_epoch = int(meta["epoch"])
+                start_step = int(meta["step_in_epoch"])
+            else:
+                start_epoch = int(meta["epoch"]) + 1
             # Seed the best-model tracker so a worse resumed model does not
             # immediately overwrite the recorded best checkpoint.
             best_pckh = float(ckpt.best_metrics().get("val_pckh", -1.0))
-            print(f"resumed from epoch {meta['epoch']}")
+            print(f"resumed from epoch {meta['epoch']}"
+                  + (f" step {start_step}" if start_step else ""))
 
     state, best = trainer.run(state, start_epoch=start_epoch,
-                              best_pckh=best_pckh)
+                              best_pckh=best_pckh, start_step=start_step)
     print(f"done; best val PCKh@0.5 = {100 * best:.2f}")
     writer.close()
     ckpt.close()

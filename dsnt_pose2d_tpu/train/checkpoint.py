@@ -45,6 +45,14 @@ class CheckpointManager:
                 max_to_keep=1, create=True,
                 enable_async_checkpointing=True),
         )
+        # Mid-epoch saves, keyed by GLOBAL optimizer step (separate store so
+        # step keys never collide with the epoch-keyed rolling store).
+        self.step_mgr = ocp.CheckpointManager(
+            os.path.join(self.dir, "ckpt_step"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, create=True,
+                enable_async_checkpointing=True),
+        )
 
     def save(self, epoch: int, state, *, is_best: bool = False,
              metrics: dict | None = None):
@@ -53,6 +61,7 @@ class CheckpointManager:
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 meta=ocp.args.JsonSave({"epoch": epoch,
+                                        "step": _global_step(state),
                                         "metrics": metrics or {}}),
             ),
         )
@@ -68,6 +77,59 @@ class CheckpointManager:
             if jax.process_index() == 0:
                 with open(os.path.join(self.dir, BEST_STEP_FILENAME), "w") as f:
                     json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
+
+    def save_step(self, state, *, epoch: int, step_in_epoch: int):
+        """Mid-epoch save, keyed by global step (exact-resume support)."""
+        self.step_mgr.save(
+            _global_step(state),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave({"epoch": epoch,
+                                        "step": _global_step(state),
+                                        "step_in_epoch": step_in_epoch,
+                                        "metrics": {}}),
+            ),
+        )
+
+    def restore_latest(self, state_template):
+        """Restore the most recent save across the epoch AND step stores.
+
+        Returns ``(state, meta)``; ``meta['step_in_epoch']`` is non-zero iff
+        the save was mid-epoch (resume inside that epoch at that offset).
+        Epoch-boundary saves win ties: a step save at the same global step
+        carries no extra progress and the boundary one resumes cleanly.
+        """
+        candidates = []
+        epoch_key = self.mgr.latest_step()
+        if epoch_key is not None:
+            meta = self._peek_meta(self.mgr, epoch_key)
+            candidates.append((meta.get("step", 0), 1, self.mgr, epoch_key))
+        step_key = self.step_mgr.latest_step()
+        if step_key is not None:
+            candidates.append((step_key, 0, self.step_mgr, step_key))
+        if not candidates:
+            return None, None
+        _, _, mgr, key = max(candidates)
+        restored = mgr.restore(
+            key,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        meta = dict(restored["meta"])
+        meta.setdefault("step_in_epoch", 0)
+        return restored["state"], meta
+
+    @staticmethod
+    def _peek_meta(mgr, key: int) -> dict:
+        """Read only the JSON meta of a checkpoint (no tensor restore)."""
+        try:
+            out = mgr.restore(key, args=ocp.args.Composite(
+                meta=ocp.args.JsonRestore()))
+            return dict(out["meta"])
+        except Exception:
+            return {}
 
     def restore(self, state_template, epoch: int | None = None):
         """Restore latest (or given epoch / recorded best) into the template.
@@ -125,10 +187,18 @@ class CheckpointManager:
     def wait(self):
         self.mgr.wait_until_finished()
         self.best_mgr.wait_until_finished()
+        self.step_mgr.wait_until_finished()
 
     def close(self):
         self.mgr.close()
         self.best_mgr.close()
+        self.step_mgr.close()
+
+
+def _global_step(state) -> int:
+    import numpy as np
+
+    return int(np.asarray(jax.device_get(state.step)))
 
 
 def load_config_from_dir(out_dir: str) -> Config:

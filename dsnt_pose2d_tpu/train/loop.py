@@ -71,9 +71,21 @@ def make_step_fns(model: PoseModel, cfg: Config, mesh,
     return train_jit, eval_jit
 
 
-def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
-    """Raw (un-jitted) step bodies; composed by make_step_fns/make_multi_step."""
-    tx = make_optimizer(cfg.optim, steps_per_epoch, cfg.train.epochs)
+def make_eval_fn(model: PoseModel, cfg: Config, mesh):
+    """Jitted eval step ONLY — no optimizer, no train graph.
+
+    The evaluate/infer CLIs (reference C16/C17) use this so an hg8 eval-only
+    run never pays the train-step XLA compile or builds optimizer state
+    machinery beyond the restore template.
+    """
+    _, eval_step = _build_eval_body(model, cfg)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, bsh), out_shardings=repl)
+
+
+def _build_eval_body(model: PoseModel, cfg: Config):
+    """(preprocess_fn, eval_step body) — optimizer-free."""
     in_size = model.image_specs.size
     data_cfg = cfg.data
 
@@ -82,33 +94,6 @@ def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
             key, batch["canvases"], batch["coords_px"], batch["mask"],
             batch["head_length"], batch["canvas_from_orig"], data_cfg,
             in_size, train, canvas_margin=batch.get("canvas_margin"))
-
-    def train_step(state: TrainState, batch):
-        aug_key = jax.random.fold_in(state.rng, state.step)
-        pre = _preprocess(aug_key, batch, True)
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out, mutated = model.module.apply(
-                variables, pre["images"], train=True, mutable=["batch_stats"])
-            loss, aux = model.loss(out, pre["coords"], pre["mask"])
-            return loss, (aux, mutated.get("batch_stats", {}))
-
-        (loss, (aux, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=new_params, batch_stats=new_stats,
-            opt_state=new_opt)
-        metrics = {"loss": loss,
-                   "grad_norm": optax.global_norm(grads)}
-        for k in ("euclidean", "reg", "mse"):
-            if k in aux:
-                metrics[k] = aux[k]
-        return new_state, metrics
 
     def eval_step(state: TrainState, batch):
         pre = _preprocess(jax.random.PRNGKey(0), batch, False)
@@ -143,6 +128,41 @@ def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
             pred_orig, gt_orig, pre["mask"], pre["head_length"])
         return {"loss": loss, "pckh_correct": correct, "pckh_total": total,
                 "pred_orig": pred_orig}
+
+    return _preprocess, eval_step
+
+
+def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
+    """Raw (un-jitted) step bodies; composed by make_step_fns/make_multi_step."""
+    tx = make_optimizer(cfg.optim, steps_per_epoch, cfg.train.epochs)
+    _preprocess, eval_step = _build_eval_body(model, cfg)
+
+    def train_step(state: TrainState, batch):
+        aug_key = jax.random.fold_in(state.rng, state.step)
+        pre = _preprocess(aug_key, batch, True)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.module.apply(
+                variables, pre["images"], train=True, mutable=["batch_stats"])
+            loss, aux = model.loss(out, pre["coords"], pre["mask"])
+            return loss, (aux, mutated.get("batch_stats", {}))
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        for k in ("euclidean", "reg", "mse"):
+            if k in aux:
+                metrics[k] = aux[k]
+        return new_state, metrics
 
     return train_step, eval_step
 
@@ -226,22 +246,36 @@ class Trainer:
         return jax.device_put(state, replicated(self.mesh))
 
     def run(self, state: TrainState | None = None, start_epoch: int = 0,
-            best_pckh: float = -1.0):
+            best_pckh: float = -1.0, start_step: int = 0):
         """``best_pckh`` seeds the best-model tracker; on resume pass the
         previously recorded best so a worse resumed model does not clobber
-        the ``ckpt_best`` slot."""
+        the ``ckpt_best`` slot.  ``start_step`` resumes the FIRST epoch at a
+        mid-epoch offset (exact: the loader replays the remaining index
+        stream and augmentation keys derive from the restored global step).
+        """
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         local_bs = self.train_loader.local_batch_size
         k_dispatch = max(cfg.train.steps_per_dispatch, 1)
+        every_steps = cfg.train.checkpoint_every_steps
+        spe = self.train_loader.steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             losses = []
+            step_in_epoch = start_step if epoch == start_epoch else 0
+
+            def maybe_save_step(s, sie):
+                # Only strictly inside the epoch: the boundary save follows.
+                if (self.checkpointer and every_steps and sie < spe
+                        and sie % every_steps == 0):
+                    self.checkpointer.save_step(s, epoch=epoch,
+                                                step_in_epoch=sie)
+
             if self.multi_step is not None:
                 import itertools
 
-                it = iter(self.train_loader.epoch(epoch))
+                it = iter(self.train_loader.epoch(epoch, step_in_epoch))
                 while True:
                     group = list(itertools.islice(it, k_dispatch))
                     if not group:
@@ -252,22 +286,28 @@ class Trainer:
                             state, m = self.train_step(
                                 state, shard_batch(self.mesh, batch))
                             losses.append(m["loss"])
+                            step_in_epoch += 1
+                            maybe_save_step(state, step_in_epoch)
                         break
                     sb = {key: np.stack([b[key] for b in group])
                           for key in group[0]}
                     state, ms = self.multi_step(state, sb)
                     losses.extend([ms["loss"][i] for i in range(k_dispatch)])
+                    step_in_epoch += k_dispatch
+                    maybe_save_step(state, step_in_epoch)
                     if self.metric_writer:
                         self.metric_writer.write(
                             {"epoch": epoch,
                              "step": int(jax.device_get(state.step)),
                              "loss": float(jax.device_get(ms["loss"][-1]))})
             else:
-                batches = prefetch_to_device(self.train_loader.epoch(epoch),
-                                             self.mesh)
+                batches = prefetch_to_device(
+                    self.train_loader.epoch(epoch, step_in_epoch), self.mesh)
                 for step, batch in enumerate(batches):
                     state, metrics = self.train_step(state, batch)
                     losses.append(metrics["loss"])
+                    step_in_epoch += 1
+                    maybe_save_step(state, step_in_epoch)
                     if self.metric_writer and step % cfg.train.log_every_steps == 0:
                         self.metric_writer.write(
                             {"epoch": epoch, "step": int(jax.device_get(state.step)),
@@ -309,18 +349,68 @@ class Trainer:
 
     def evaluate(self, state: TrainState, sample_dir: str | None = None,
                  epoch: int = 0) -> dict:
-        evaluator = PCKhEvaluator(self.model.cfg.num_joints)
-        losses = []
-        first = None
-        for batch in self.val_loader.epoch(0):
+        return run_evaluation(self.eval_step, state, self.mesh,
+                              self.val_loader, self.model.cfg.num_joints,
+                              sample_dir=sample_dir, epoch=epoch)
+
+
+def run_evaluation(eval_step, state, mesh, loader, num_joints: int,
+                   sample_dir: str | None = None, epoch: int = 0) -> dict:
+    """Drive one full pass of ``loader`` through a jitted eval step."""
+    evaluator = PCKhEvaluator(num_joints)
+    losses = []
+    first = None
+    for batch in loader.epoch(0):
+        out = eval_step(state, shard_batch(mesh, batch))
+        evaluator.add_counts(jax.device_get(out["pckh_correct"]),
+                             jax.device_get(out["pckh_total"]))
+        losses.append(float(jax.device_get(out["loss"])))
+        if first is None:
+            first = (batch, np.asarray(jax.device_get(out["pred_orig"])))
+    if sample_dir and first is not None and jax.process_index() == 0:
+        _dump_samples(sample_dir, epoch, first[0], first[1])
+    return {"loss": float(np.mean(losses)) if losses else float("nan"),
+            "pckh": evaluator.total_pckh(),
+            "evaluator": evaluator}
+
+
+@dataclass
+class EvalDriver:
+    """Evaluate/infer execution path: compiles ONLY the eval graph.
+
+    The reference's evaluate.py/infer.py load a checkpoint and run forward
+    passes (SURVEY.md C16/C17); this driver is their counterpart without any
+    Trainer machinery — no optimizer transforms beyond the restore template,
+    no train-step jit, no multi-step scan.
+    """
+
+    model: PoseModel
+    cfg: Config
+    mesh: Any
+    loader: Any
+
+    def __post_init__(self):
+        self.eval_step = make_eval_fn(self.model, self.cfg, self.mesh)
+
+    def init_state(self) -> TrainState:
+        """Restore template matching the Trainer's TrainState structure."""
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        state = create_train_state(
+            self.model, self.cfg.optim, rng,
+            batch_size=max(2, len(self.mesh.devices.flat)),
+            epochs=self.cfg.train.epochs)
+        return jax.device_put(state, replicated(self.mesh))
+
+    def evaluate(self, state: TrainState, sample_dir: str | None = None,
+                 epoch: int = 0) -> dict:
+        return run_evaluation(self.eval_step, state, self.mesh, self.loader,
+                              self.model.cfg.num_joints,
+                              sample_dir=sample_dir, epoch=epoch)
+
+    def predict(self, state: TrainState) -> np.ndarray:
+        """Original-image-space predictions over the whole loader, in order."""
+        preds = []
+        for batch in self.loader.epoch(0):
             out = self.eval_step(state, shard_batch(self.mesh, batch))
-            evaluator.add_counts(jax.device_get(out["pckh_correct"]),
-                                 jax.device_get(out["pckh_total"]))
-            losses.append(float(jax.device_get(out["loss"])))
-            if first is None:
-                first = (batch, np.asarray(jax.device_get(out["pred_orig"])))
-        if sample_dir and first is not None and jax.process_index() == 0:
-            _dump_samples(sample_dir, epoch, first[0], first[1])
-        return {"loss": float(np.mean(losses)) if losses else float("nan"),
-                "pckh": evaluator.total_pckh(),
-                "evaluator": evaluator}
+            preds.append(np.asarray(jax.device_get(out["pred_orig"])))
+        return np.concatenate(preds)

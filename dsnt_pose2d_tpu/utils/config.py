@@ -138,6 +138,11 @@ class TrainConfig:
     out_dir: str = "out"
     experiment_id: str = ""  # '' = timestamp-derived
     checkpoint_every_epochs: int = 1
+    # Mid-epoch checkpointing every N optimizer steps (0 = off): enables
+    # exact resume inside a long epoch (loader replays from the stored
+    # step offset; augmentation is fold_in(rng, step)-keyed, so a resumed
+    # run matches the uninterrupted one bit-for-bit).
+    checkpoint_every_steps: int = 0
     keep_checkpoints: int = 3
     log_every_steps: int = 20
     eval_every_epochs: int = 1

@@ -267,6 +267,101 @@ def test_trainer_steps_per_dispatch(tmp_path):
     assert 0.0 <= best <= 1.0
 
 
+def test_eval_driver_matches_trainer_eval(setup):
+    # EvalDriver (evaluate/infer CLI path) must produce the same results as
+    # Trainer.evaluate without building any train-step machinery.
+    from dsnt_pose2d_tpu.train.loop import EvalDriver, run_evaluation
+
+    cfg, model, mesh, train_step, eval_step, state, batch = setup
+    ds = ArrayDataset(make_synthetic_mpii(16, canvas_size=48, seed=9))
+    loader = ShardedLoader(ds, 8, shuffle=False, drop_last=False)
+    driver = EvalDriver(model=model, cfg=cfg, mesh=mesh, loader=loader)
+    assert not hasattr(driver, "train_step")
+    res_driver = driver.evaluate(state)
+    res_ref = run_evaluation(eval_step, state, mesh, loader,
+                             model.cfg.num_joints)
+    np.testing.assert_allclose(res_driver["pckh"], res_ref["pckh"])
+    np.testing.assert_allclose(res_driver["loss"], res_ref["loss"], rtol=1e-6)
+    # predict() covers every sample, in loader order.
+    preds = driver.predict(state)
+    assert preds.shape == (16, 16, 2)
+    assert np.all(np.isfinite(preds))
+    # The restore template has the Trainer's TrainState structure.
+    t1 = jax.tree_util.tree_structure(driver.init_state())
+    assert t1 == jax.tree_util.tree_structure(state)
+
+
+class _Bomb(Exception):
+    pass
+
+
+class _BombWriter:
+    """Metric writer that simulates a preemption after n step-writes."""
+
+    path = None
+
+    def __init__(self, n):
+        self.left = n
+
+    def write(self, d):
+        if "loss" in d and "train_loss" not in d:
+            self.left -= 1
+            if self.left == 0:
+                raise _Bomb
+
+    def close(self):
+        pass
+
+
+def test_mid_epoch_resume_bit_exact(tmp_path):
+    # SURVEY section 5 checkpoint plan ("store the loader state"): train k
+    # steps, die mid-epoch, resume from the step checkpoint, and match the
+    # uninterrupted run's final params BIT-FOR-BIT (augmentation is keyed by
+    # the restored global step; the loader replays the index stream offset).
+    from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config(epochs=2, eval_every_epochs=10,
+                      checkpoint_every_steps=2)
+    ds_data = make_synthetic_mpii(32, canvas_size=48, seed=11)
+
+    def build(ckpt, writer=None):
+        model = build_pose_model(cfg.model)
+        mesh = make_mesh(1)
+        ds = ArrayDataset(ds_data)
+        return Trainer(model=model, cfg=cfg, mesh=mesh,
+                       train_loader=ShardedLoader(ds, 8, shuffle=True, seed=0),
+                       checkpointer=ckpt, metric_writer=writer)
+
+    # Uninterrupted run: 2 epochs x 4 steps.
+    trainer_a = build(None)
+    state_a, _ = trainer_a.run()
+    params_a = jax.device_get(state_a.params)
+    assert int(jax.device_get(state_a.step)) == 8
+
+    # Interrupted run: dies after step 3 of epoch 0; the step store holds
+    # the step-2 save.
+    ckpt = CheckpointManager(str(tmp_path / "exp"), cfg, max_to_keep=2)
+    trainer_b = build(ckpt, writer=_BombWriter(3))
+    with pytest.raises(_Bomb):
+        trainer_b.run()
+    ckpt.wait()
+
+    restored, meta = ckpt.restore_latest(trainer_b.init_state())
+    assert restored is not None
+    assert meta["epoch"] == 0 and meta["step_in_epoch"] == 2
+    assert int(jax.device_get(restored.step)) == 2
+
+    trainer_c = build(ckpt)
+    state_c, _ = trainer_c.run(restored, start_epoch=meta["epoch"],
+                               start_step=meta["step_in_epoch"])
+    assert int(jax.device_get(state_c.step)) == 8
+    params_c = jax.device_get(state_c.params)
+    for a, c in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    ckpt.close()
+
+
 def test_restore_falls_back_when_best_collected(tmp_path):
     from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
 
