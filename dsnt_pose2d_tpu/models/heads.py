@@ -62,12 +62,12 @@ def pose_loss(output: PoseOutput, target_coords: jnp.ndarray,
     m = jnp.broadcast_to(mask[None], raw.shape[:3])
 
     if cfg.output_strat == "dsnt":
-        if cfg.use_pallas and cfg.preact == "softmax" and _pallas_available():
+        if use_pallas_head(cfg):
             from ..ops.pallas import fused_dsnt_head
 
             coords, reg = fused_dsnt_head(
                 raw.astype(jnp.float32), jnp.broadcast_to(t, (*raw.shape[:3], 2)),
-                sigma_px=cfg.hm_sigma, reg=cfg.reg)
+                sigma_px=cfg.hm_sigma, reg=cfg.reg, preact=cfg.preact)
         else:
             act = activate_heatmaps(raw, cfg.preact)
             coords = ops.dsnt(act)
@@ -108,11 +108,13 @@ def decode_coords(output: PoseOutput, cfg: ModelConfig) -> jnp.ndarray:
     """Evaluation-time normalized (x, y) coords from the LAST stack: (B, J, 2)."""
     if cfg.output_strat == "dsnt":
         raw = output.heatmaps[-1]
-        if cfg.use_pallas and cfg.preact == "softmax" and _pallas_available():
+        if use_pallas_head(cfg):
             from ..ops.pallas import fused_dsnt_head
 
+            # reg="none" explicitly: decode needs no targets/regularizer.
             coords, _ = fused_dsnt_head(raw.astype(jnp.float32), None,
-                                        sigma_px=cfg.hm_sigma, reg="none")
+                                        sigma_px=cfg.hm_sigma, reg="none",
+                                        preact=cfg.preact)
             return coords
         return ops.dsnt(activate_heatmaps(raw, cfg.preact))
     if cfg.output_strat == "gauss":
@@ -152,3 +154,36 @@ def _pallas_available() -> bool:
         return pallas.AVAILABLE
     except Exception:
         return False
+
+
+_WARNED: set = set()
+
+
+def _warn_once(msg: str):
+    import warnings
+
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        warnings.warn(msg, stacklevel=3)
+
+
+def use_pallas_head(cfg: ModelConfig) -> bool:
+    """Whether the fused Pallas DSNT head runs for this config.
+
+    Warns (once per reason) when ``use_pallas=True`` is silently bypassed,
+    so a user setting e.g. ``preact=relu, use_pallas=True`` learns they got
+    the jnp path instead of wondering where the kernel went.
+    """
+    if not cfg.use_pallas or cfg.output_strat != "dsnt":
+        return False
+    if not _pallas_available():
+        _warn_once("use_pallas=True but the Pallas kernel is unavailable; "
+                   "using the jnp ops path")
+        return False
+    from ..ops.pallas.dsnt_head import PREACT_KINDS
+
+    if cfg.preact not in PREACT_KINDS:
+        _warn_once(f"use_pallas=True but preact={cfg.preact!r} is not fused "
+                   f"(kernel supports {PREACT_KINDS}); using the jnp ops path")
+        return False
+    return True

@@ -48,6 +48,12 @@ _PAD_NEG = -1e30
 _PAD_COORD = 1e4
 
 REG_KINDS = ("none", "js", "kl", "mse", "var")
+# Pre-activations the kernel fuses.  The thresholded variant (paper ablation,
+# SURVEY.md section 7 item 2) masks logits below the threshold before the
+# softmax; the masked softmax VJP is the SAME formula (dropped pixels have
+# Z = 0, hence zero gradient), so the backward kernel is shared.
+PREACT_KINDS = ("softmax", "thresholded_softmax")
+_THRESHOLD = 0.0  # ops.activations.thresholded_softmax default
 
 
 def _interpret() -> bool:
@@ -73,6 +79,23 @@ def _softmax_rows(h):
     e = jnp.exp(h - m)
     s = jnp.sum(e, axis=1, keepdims=True)
     return e / s
+
+
+def _activate_rows(h, preact: str):
+    """Row activation: plain or thresholded flat softmax.
+
+    Thresholded (matching :func:`ops.activations.thresholded_softmax`):
+    logits below the threshold are excluded from the softmax (probability 0);
+    if a whole row falls below, fall back to the plain softmax.  Lane padding
+    (``_PAD_NEG``) is below any threshold and keeps weight 0 either way.
+    """
+    if preact == "softmax":
+        return _softmax_rows(h)
+    keep = h >= _THRESHOLD
+    any_kept = jnp.any(keep, axis=1, keepdims=True)
+    masked = jnp.where(jnp.logical_or(keep, jnp.logical_not(any_kept)),
+                       h, _PAD_NEG)
+    return _softmax_rows(masked)
 
 
 def _gauss_rows(xg, yg, t, sx, sy):
@@ -131,9 +154,9 @@ def _reg_grad_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(reg: str, hw: int, sigma_px: float, h: int, w: int,
-                x_ref, t_ref, xg_ref, yg_ref, coords_ref, reg_ref):
-    z = _softmax_rows(x_ref[:])
+def _fwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
+                w: int, x_ref, t_ref, xg_ref, yg_ref, coords_ref, reg_ref):
+    z = _activate_rows(x_ref[:], preact)
     xg = xg_ref[:]                       # (1, HWp) broadcasts over rows
     yg = yg_ref[:]
     cx = jnp.sum(z * xg, axis=1)
@@ -149,9 +172,9 @@ def _fwd_kernel(reg: str, hw: int, sigma_px: float, h: int, w: int,
         reg_ref[:] = val[:, None]
 
 
-def _bwd_kernel(reg: str, hw: int, sigma_px: float, h: int, w: int,
-                x_ref, t_ref, gc_ref, gr_ref, xg_ref, yg_ref, dh_ref):
-    z = _softmax_rows(x_ref[:])
+def _bwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
+                w: int, x_ref, t_ref, gc_ref, gr_ref, xg_ref, yg_ref, dh_ref):
+    z = _activate_rows(x_ref[:], preact)
     xg = xg_ref[:]
     yg = yg_ref[:]
     gc = gc_ref[:]
@@ -180,11 +203,12 @@ def _bcast_spec(width):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("reg", "hw", "sigma_px", "h", "w"))
-def _fwd_call(x2, t2, xg, yg, *, reg, hw, sigma_px, h, w):
+@functools.partial(jax.jit, static_argnames=("reg", "preact", "hw",
+                                              "sigma_px", "h", "w"))
+def _fwd_call(x2, t2, xg, yg, *, reg, preact, hw, sigma_px, h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
-    kernel = functools.partial(_fwd_kernel, reg, hw, sigma_px, h, w)
+    kernel = functools.partial(_fwd_kernel, reg, preact, hw, sigma_px, h, w)
     out_shape = [jax.ShapeDtypeStruct((n, 2), jnp.float32),
                  jax.ShapeDtypeStruct((n, 1), jnp.float32)]
     out_specs = [_row_spec(_ROW_TILE, 2), _row_spec(_ROW_TILE, 1)]
@@ -204,11 +228,12 @@ def _fwd_call(x2, t2, xg, yg, *, reg, hw, sigma_px, h, w):
     return coords, regv[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("reg", "hw", "sigma_px", "h", "w"))
-def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, hw, sigma_px, h, w):
+@functools.partial(jax.jit, static_argnames=("reg", "preact", "hw",
+                                              "sigma_px", "h", "w"))
+def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, preact, hw, sigma_px, h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
-    kernel = functools.partial(_bwd_kernel, reg, hw, sigma_px, h, w)
+    kernel = functools.partial(_bwd_kernel, reg, preact, hw, sigma_px, h, w)
     transc = 2 * n * hwp if reg in ("js", "kl") else n * hwp
     return pl.pallas_call(
         kernel,
@@ -226,7 +251,7 @@ def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, hw, sigma_px, h, w):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(h: int, w: int, sigma_px: float, reg: str):
+def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
     hw = h * w
     hw_pad = -(-hw // _LANE) * _LANE
 
@@ -240,7 +265,8 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str):
     def fused(raw2, targets2):
         xg, yg = _grids_flat(h, w, hw_pad)
         coords, regv = _fwd_call(_prep(raw2), targets2, xg, yg, reg=reg,
-                                 hw=hw, sigma_px=sigma_px, h=h, w=w)
+                                 preact=preact, hw=hw, sigma_px=sigma_px,
+                                 h=h, w=w)
         return coords, regv
 
     def fwd(raw2, targets2):
@@ -254,7 +280,8 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str):
         dh = _bwd_call(_prep(raw2), targets2,
                        g_coords.astype(jnp.float32),
                        g_reg.astype(jnp.float32)[:, None], xg, yg,
-                       reg=reg, hw=hw, sigma_px=sigma_px, h=h, w=w)
+                       reg=reg, preact=preact, hw=hw, sigma_px=sigma_px,
+                       h=h, w=w)
         return dh[:, :hw], None
 
     fused.defvjp(fwd, bwd)
@@ -262,7 +289,7 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str):
 
 
 def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
-                    reg: str = "js"):
+                    reg: str = "js", preact: str = "softmax"):
     """Fused flat-softmax + DSNT + regularizer over ``(..., H, W)`` heatmaps.
 
     Args:
@@ -280,6 +307,9 @@ def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
     """
     if reg not in REG_KINDS:
         raise ValueError(f"unknown reg {reg!r}")
+    if preact not in PREACT_KINDS:
+        raise ValueError(f"preact {preact!r} is not fused (supported: "
+                         f"{PREACT_KINDS}); use the jnp ops path")
     *lead, h, w = raw.shape
     n = math.prod(lead) if lead else 1
     raw2 = raw.reshape(n, h * w).astype(jnp.float32)
@@ -289,7 +319,8 @@ def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
         targets2 = jnp.zeros((n, 2), jnp.float32)
     else:
         targets2 = target_coords.reshape(n, 2).astype(jnp.float32)
-    coords, regv = _make_fused(h, w, float(sigma_px), reg)(raw2, targets2)
+    coords, regv = _make_fused(h, w, float(sigma_px), reg,
+                               preact)(raw2, targets2)
     coords = coords.reshape(*lead, 2)
     if reg == "none":
         return coords, None

@@ -13,8 +13,8 @@ from dsnt_pose2d_tpu.ops.pallas import AVAILABLE, fused_dsnt_head
 pytestmark = pytest.mark.skipif(not AVAILABLE, reason="pallas unavailable")
 
 
-def _oracle(raw, t, sigma, reg):
-    z = ops.flat_softmax(raw)
+def _oracle(raw, t, sigma, reg, preact="softmax"):
+    z = ops.HEATMAP_ACTIVATIONS[preact](raw)
     coords = ops.dsnt(z)
     if reg == "none":
         return coords, None
@@ -33,14 +33,46 @@ def data(request):
     return raw, t
 
 
+@pytest.mark.parametrize("preact", ["softmax", "thresholded_softmax"])
 @pytest.mark.parametrize("reg", ["none", "js", "kl", "mse", "var"])
-def test_forward_matches_oracle(data, reg):
+def test_forward_matches_oracle(data, reg, preact):
     raw, t = data
-    coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg)
-    coords_o, regv_o = _oracle(raw, t, 1.0, reg)
+    coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg,
+                                   preact=preact)
+    coords_o, regv_o = _oracle(raw, t, 1.0, reg, preact)
     np.testing.assert_allclose(coords, coords_o, atol=2e-6)
     if reg != "none":
         np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+
+def test_thresholded_all_below_falls_back(data):
+    # A map entirely below the threshold must fall back to plain softmax
+    # (same convention as ops.activations.thresholded_softmax).
+    rng = np.random.default_rng(17)
+    raw = jnp.asarray(rng.uniform(-5.0, -1.0, size=(4, 8, 8)).astype(np.float32))
+    t = jnp.zeros((4, 2), jnp.float32)
+    coords, regv = fused_dsnt_head(raw, t, reg="js",
+                                   preact="thresholded_softmax")
+    coords_o, regv_o = _oracle(raw, t, 1.0, "js", "thresholded_softmax")
+    np.testing.assert_allclose(coords, coords_o, atol=2e-6)
+    np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+
+def test_unfused_preact_raises(data):
+    raw, t = data
+    with pytest.raises(ValueError, match="not fused"):
+        fused_dsnt_head(raw, t, reg="js", preact="relu")
+
+
+def test_pallas_gate_warns_on_bypass():
+    from dsnt_pose2d_tpu.models.heads import use_pallas_head
+    from dsnt_pose2d_tpu.utils.config import ModelConfig
+
+    with pytest.warns(UserWarning, match="not fused"):
+        assert not use_pallas_head(ModelConfig(preact="relu", use_pallas=True))
+    assert use_pallas_head(ModelConfig(preact="thresholded_softmax",
+                                       use_pallas=True))
+    assert not use_pallas_head(ModelConfig(use_pallas=False))
 
 
 def test_eval_path_no_targets(data):
@@ -61,21 +93,23 @@ def test_nonaligned_heatmap_size():
     np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("preact", ["softmax", "thresholded_softmax"])
 @pytest.mark.parametrize("reg", ["none", "js", "kl", "mse", "var"])
-def test_gradients_match_oracle(data, reg):
+def test_gradients_match_oracle(data, reg, preact):
     raw, t = data
     mask = jnp.asarray(
         np.random.default_rng(5).uniform(size=(3, 4)) > 0.3, jnp.float32)
 
     def loss_pallas(raw):
-        coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg)
+        coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg=reg,
+                                       preact=preact)
         l = ops.euclidean_losses(coords, t)
         if regv is not None:
             l = l + regv
         return ops.average_loss(l, mask)
 
     def loss_oracle(raw):
-        coords, regv = _oracle(raw, t, 1.0, reg)
+        coords, regv = _oracle(raw, t, 1.0, reg, preact)
         l = ops.euclidean_losses(coords, t)
         if regv is not None:
             l = l + regv
