@@ -133,12 +133,27 @@ def make_datasets(cfg: Config):
                 return PackedDataset(packed, name)
             return MPIIDataset(cfg.data.data_dir, name, canvas_size=canvas)
 
-        return split("train"), split("val")
+        train_ds, val_ds = split("train"), split("val")
+        _surface_split_provenance(val_ds)
+        return train_ds, val_ds
     n = cfg.data.synthetic_size
     canvas = cfg.data.canvas_size or 96
     return (ArrayDataset(make_synthetic_mpii(n, canvas_size=canvas, seed=1)),
             ArrayDataset(make_synthetic_mpii(max(n // 4, 8), canvas_size=canvas,
                                              seed=2)))
+
+
+def _surface_split_provenance(val_ds):
+    """Say which method built the val split: PCKh numbers are only
+    comparable to published (Tompson-split) results for a --val-list h5."""
+    annot = getattr(val_ds, "annot", None)
+    method = getattr(annot, "split_method", "") if annot is not None else ""
+    if method.startswith("hash-holdout"):
+        print(f"NOTE: val split = {method} (data.prepare default), NOT the "
+              "Tompson split; PCKh will not be comparable to published "
+              "numbers. Rebuild with --val-list for parity.")
+    elif method:
+        print(f"val split: {method}")
 
 
 def make_loaders(cfg: Config, train_ds, val_ds):

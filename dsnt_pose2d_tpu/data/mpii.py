@@ -39,6 +39,9 @@ class MPIIAnnotations:
     parts: np.ndarray        # (N, 16, 2) original-image px, (x, y)
     visible: np.ndarray      # (N, 16)
     head_lengths: np.ndarray  # (N,)
+    # Provenance stamped by data.prepare ('' for externally-built files):
+    # 'val-list:<file>' (Tompson-comparable) or 'hash-holdout:<frac>'.
+    split_method: str = ""
 
     def __len__(self):
         return len(self.imgnames)
@@ -70,7 +73,9 @@ def load_annotations(data_dir: str, subset: str) -> MPIIAnnotations:
             np.ones(parts.shape[:2], np.float32)
         head = np.asarray(g["normalize"], np.float32).reshape(-1) if "normalize" in g \
             else np.full((len(imgnames),), 60.0, np.float32)
-    return MPIIAnnotations(imgnames, centers, scales, parts, visible, head)
+        split_method = str(f.attrs.get("split_method", ""))
+    return MPIIAnnotations(imgnames, centers, scales, parts, visible, head,
+                           split_method)
 
 
 class MPIIDataset:

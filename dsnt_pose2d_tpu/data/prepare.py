@@ -127,7 +127,7 @@ def _hash_holdout(imgname: str, frac: float) -> bool:
     return (h % 10_000) < frac * 10_000
 
 
-def write_h5(samples: list[dict], path: str):
+def write_h5(samples: list[dict], path: str, attrs: dict | None = None):
     import h5py
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -136,6 +136,8 @@ def write_h5(samples: list[dict], path: str):
                          data=np.asarray([s["imgname"].encode() for s in samples]))
         for key in ("center", "scale", "part", "visible", "normalize"):
             f.create_dataset(key, data=np.stack([s[key] for s in samples]))
+        for k, v in (attrs or {}).items():
+            f.attrs[k] = v
 
 
 def prepare(mat_path: str, out_dir: str, val_list: str | None = None,
@@ -157,10 +159,17 @@ def prepare(mat_path: str, out_dir: str, val_list: str | None = None,
         else:
             train.append(s)
 
+    # Stamp split provenance into the files: only a --val-list split is
+    # comparable to the published (Tompson) PCKh numbers, and consumers
+    # (train CLI) surface which method built the h5.
+    split_method = (f"val-list:{os.path.basename(val_list)}" if val_list
+                    else f"hash-holdout:{val_frac}")
+    attrs = {"split_method": split_method,
+             "source_mat": os.path.basename(mat_path)}
     for name, subset in (("train", train), ("val", val), ("test", test)):
         if subset:
-            write_h5(subset, os.path.join(out_dir, f"{name}.h5"))
-        print(f"{name}: {len(subset)} samples")
+            write_h5(subset, os.path.join(out_dir, f"{name}.h5"), attrs)
+        print(f"{name}: {len(subset)} samples (split: {split_method})")
 
 
 def main(argv=None):

@@ -70,6 +70,27 @@ def test_prepare_roundtrip(tmp_path):
     assert ann.parts.shape[1:] == (16, 2)
 
 
+def test_prepare_stamps_split_provenance(tmp_path):
+    mat = tmp_path / "release.mat"
+    _fake_release_mat(str(mat), n_train=10, n_test=0)
+
+    out = tmp_path / "hash"
+    prepare(str(mat), str(out), val_frac=0.4)
+    with h5py.File(out / "val.h5") as f:
+        assert f.attrs["split_method"] == "hash-holdout:0.4"
+        assert f.attrs["source_mat"] == "release.mat"
+    assert load_annotations(str(out), "val").split_method == "hash-holdout:0.4"
+
+    # A --val-list split is stamped as Tompson-comparable.
+    vl = tmp_path / "valid.txt"
+    vl.write_text("img_0001.jpg 0\nimg_0003.jpg 0\n")
+    out2 = tmp_path / "listed"
+    prepare(str(mat), str(out2), val_list=str(vl))
+    ann = load_annotations(str(out2), "val")
+    assert ann.split_method == "val-list:valid.txt"
+    assert len(ann) == 2
+
+
 def test_prepare_val_split_deterministic(tmp_path):
     mat = tmp_path / "release.mat"
     _fake_release_mat(str(mat), n_train=10, n_test=0)
