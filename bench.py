@@ -42,7 +42,9 @@ def _baseline_ips() -> float:
         return 0.0
 
 
-def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
+def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
+                use_pallas: bool = True, remat: bool = False,
+                base: str = "hg8", steps_per_dispatch: int = 1) -> float:
     """Two-point, fetch-forced measurement.
 
     On remote/tunneled PJRT transports ``block_until_ready`` can return
@@ -63,37 +65,53 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
     from dsnt_pose2d_tpu.utils.config import Config, ModelConfig, TrainConfig
 
     cfg = Config(
-        model=ModelConfig(base="hg8", output_strat="dsnt", reg="js",
-                          dtype="bfloat16", use_pallas=True),
-        train=TrainConfig(batch_size=batch, donate=True),
+        model=ModelConfig(base=base, output_strat="dsnt", reg="js",
+                          dtype="bfloat16", use_pallas=use_pallas,
+                          remat=remat),
+        train=TrainConfig(batch_size=batch, donate=True,
+                          steps_per_dispatch=steps_per_dispatch),
     )
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)
-    train_step, _ = make_step_fns(model, cfg, mesh)
+    k = max(1, steps_per_dispatch)
+    if k > 1:
+        from dsnt_pose2d_tpu.train.loop import make_multi_step
+
+        multi = make_multi_step(model, cfg, mesh)
+        data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
+        import numpy as _np
+
+        super_batch = {key: _np.stack([v] * k) for key, v in data.items()}
+        step_fn = lambda st, _b: multi(st, super_batch)
+        batch_arrays = None
+    else:
+        train_step, _ = make_step_fns(model, cfg, mesh)
+        data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
+        batch_arrays = shard_batch(mesh, data)
+        step_fn = lambda st, b: train_step(st, b)
     state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
                                batch_size=2)
     state = jax.device_put(state, replicated(mesh))
 
-    data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
-    batch_arrays = shard_batch(mesh, data)
-
     for _ in range(warmup):
-        state, metrics = train_step(state, batch_arrays)
-    float(jax.device_get(metrics["loss"]))  # true execution barrier
+        state, metrics = step_fn(state, batch_arrays)
+    loss = metrics["loss"]
+    float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
 
     def timed(n):
         nonlocal state
         t0 = time.time()
         m = None
         for _ in range(n):
-            state, m = train_step(state, batch_arrays)
-        float(jax.device_get(m["loss"]))
+            state, m = step_fn(state, batch_arrays)
+        loss = m["loss"]
+        float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
         return time.time() - t0
 
     t1 = timed(iters)
     t2 = timed(2 * iters)
     per_step = (t2 - t1) / iters
-    return batch / per_step
+    return batch * k / per_step
 
 
 def main():

@@ -60,10 +60,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _grids_flat(h: int, w: int, hw_pad: int):
-    """Flattened normalized X/Y coordinate rows of length hw_pad (padded)."""
-    xs = (2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0
-    ys = (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0
+def _grids_flat(h: int, w: int, hw_pad: int, scale_x: float = 1.0,
+                scale_y: float = 1.0):
+    """Flattened normalized X/Y coordinate rows of length hw_pad (padded).
+
+    ``scale_*`` pre-divides the grid by the target-Gaussian sigma so the
+    kernel's ``(x - tx) / sx`` becomes a single subtract (one VPU pass saved
+    per axis); the pad coordinate stays huge after scaling (sigma < 1), so
+    padded lanes still underflow the Gaussian to 0.
+    """
+    xs = ((2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0) * scale_x
+    ys = ((2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0) * scale_y
     xg = jnp.tile(xs, h)
     yg = jnp.repeat(ys, w)
     pad = hw_pad - h * w
@@ -74,53 +81,67 @@ def _grids_flat(h: int, w: int, hw_pad: int):
     return xg[None, :], yg[None, :]
 
 
-def _softmax_rows(h):
-    m = jnp.max(h, axis=1, keepdims=True)
-    e = jnp.exp(h - m)
-    s = jnp.sum(e, axis=1, keepdims=True)
-    return e / s
-
-
-def _activate_rows(h, preact: str):
-    """Row activation: plain or thresholded flat softmax.
+def _exp_rows(h, preact: str):
+    """Stable ``(exp(h - max), rowsum)`` pair, plain or thresholded.
 
     Thresholded (matching :func:`ops.activations.thresholded_softmax`):
     logits below the threshold are excluded from the softmax (probability 0);
     if a whole row falls below, fall back to the plain softmax.  Lane padding
     (``_PAD_NEG``) is below any threshold and keeps weight 0 either way.
     """
-    if preact == "softmax":
-        return _softmax_rows(h)
-    keep = h >= _THRESHOLD
-    any_kept = jnp.any(keep, axis=1, keepdims=True)
-    masked = jnp.where(jnp.logical_or(keep, jnp.logical_not(any_kept)),
-                       h, _PAD_NEG)
-    return _softmax_rows(masked)
+    if preact != "softmax":
+        keep = h >= _THRESHOLD
+        any_kept = jnp.any(keep, axis=1, keepdims=True)
+        h = jnp.where(jnp.logical_or(keep, jnp.logical_not(any_kept)),
+                      h, _PAD_NEG)
+    m = jnp.max(h, axis=1, keepdims=True)
+    e = jnp.exp(h - m)
+    return e, jnp.sum(e, axis=1, keepdims=True)
 
 
-def _gauss_rows(xg, yg, t, sx, sy):
-    dx = (xg - t[:, 0:1]) / sx
-    dy = (yg - t[:, 1:2]) / sy
+def _activate_rows(h, preact: str):
+    e, s = _exp_rows(h, preact)
+    return e * (1.0 / s)
+
+
+def _gauss_rows_scaled(xgs, ygs, txs, tys):
+    """Normalized Gaussian from PRE-SCALED (divided-by-sigma) grids/targets."""
+    dx = xgs - txs
+    dy = ygs - tys
     g = jnp.exp(-0.5 * (dx * dx + dy * dy))
-    return g / jnp.maximum(jnp.sum(g, axis=1, keepdims=True), _EPS)
+    return g * (1.0 / jnp.maximum(jnp.sum(g, axis=1, keepdims=True), _EPS))
 
 
 def _reg_value_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
-    """Per-row regularizer value, matching ops.losses formulas exactly."""
+    """Per-row ``(tile, 1)`` regularizer value, matching ops.losses formulas.
+
+    Logs MUST stay in the subtraction form ``log(p+eps) - log(q+eps)``: the
+    Mosaic fast ``log`` carries ~1e-4 absolute error, but it is a smooth
+    function of the argument, so the errors of two logs at nearby values
+    cancel in the difference; the algebraically-equal ratio form
+    ``log((p+eps)/(q+eps))`` loses that cancellation (measured: 2.4e-5 JS
+    drift vs the oracle, 10x the test tolerance).  All reductions keep dims:
+    a ``(tile,)`` intermediate would be laid out along lanes and force a
+    sublane<->lane relayout before the store (measured: relayouts, not math,
+    dominated the v1 kernel).
+    """
     if reg == "js":
-        m2 = 0.5 * (z + g)
-        lz = jnp.log(z + _EPS) - jnp.log(m2 + _EPS)
-        lg = jnp.log(g + _EPS) - jnp.log(m2 + _EPS)
-        return 0.5 * jnp.sum(z * lz, axis=1) + 0.5 * jnp.sum(g * lg, axis=1)
+        m2e = 0.5 * (z + g) + _EPS
+        lm = jnp.log(m2e)
+        lz = jnp.log(z + _EPS) - lm
+        lg = jnp.log(g + _EPS) - lm
+        return 0.5 * (jnp.sum(z * lz, axis=1, keepdims=True)
+                      + jnp.sum(g * lg, axis=1, keepdims=True))
     if reg == "kl":
-        return jnp.sum(z * (jnp.log(z + _EPS) - jnp.log(g + _EPS)), axis=1)
+        return jnp.sum(z * (jnp.log(z + _EPS) - jnp.log(g + _EPS)), axis=1,
+                       keepdims=True)
     if reg == "mse":
-        return jnp.sum((z - g) ** 2, axis=1) / hw
+        return jnp.sum((z - g) ** 2, axis=1, keepdims=True) / hw
     if reg == "var":
-        mu_x = jnp.sum(z * xg, axis=1)
-        mu_y = jnp.sum(z * yg, axis=1)
-        var_x = jnp.sum(z * xg * xg, axis=1) - mu_x * mu_x
-        var_y = jnp.sum(z * yg * yg, axis=1) - mu_y * mu_y
+        mu_x = jnp.sum(z * xg, axis=1, keepdims=True)
+        mu_y = jnp.sum(z * yg, axis=1, keepdims=True)
+        var_x = jnp.sum(z * xg * xg, axis=1, keepdims=True) - mu_x * mu_x
+        var_y = jnp.sum(z * yg * yg, axis=1, keepdims=True) - mu_y * mu_y
         tvx = (2.0 * sigma_px / w) ** 2
         tvy = (2.0 * sigma_px / h) ** 2
         return (var_x - tvx) ** 2 + (var_y - tvy) ** 2
@@ -128,12 +149,18 @@ def _reg_value_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
 
 
 def _reg_grad_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
-    """d(reg)/dZ per row-element, exact autodiff of the eps-guarded forward."""
+    """d(reg)/dZ per row-element, exact autodiff of the eps-guarded forward.
+
+    For JS, ``(z+g)/(m2+eps)`` is rewritten as ``2*m2/(m2+eps)`` (m2 is
+    already on hand) — exact algebra.  Logs stay in subtraction form for the
+    Mosaic fast-log error cancellation (see :func:`_reg_value_rows`).
+    """
     if reg == "js":
         m2 = 0.5 * (z + g)
-        return (0.5 * (jnp.log(z + _EPS) - jnp.log(m2 + _EPS))
+        m2e = m2 + _EPS
+        return (0.5 * (jnp.log(z + _EPS) - jnp.log(m2e))
                 + 0.5 * z / (z + _EPS)
-                - 0.25 * (z + g) / (m2 + _EPS))
+                - 0.5 * m2 / m2e)
     if reg == "kl":
         return jnp.log(z + _EPS) - jnp.log(g + _EPS) + z / (z + _EPS)
     if reg == "mse":
@@ -155,25 +182,34 @@ def _reg_grad_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
-                w: int, x_ref, t_ref, xg_ref, yg_ref, coords_ref, reg_ref):
-    z = _activate_rows(x_ref[:], preact)
+                w: int, x_ref, t_ref, xg_ref, yg_ref, xgs_ref, ygs_ref,
+                coords_ref, reg_ref):
     xg = xg_ref[:]                       # (1, HWp) broadcasts over rows
     yg = yg_ref[:]
-    cx = jnp.sum(z * xg, axis=1)
-    cy = jnp.sum(z * yg, axis=1)
-    coords_ref[:] = jnp.stack([cx, cy], axis=1)
-    if reg != "none":
-        g = None
-        if reg in ("js", "kl", "mse"):
-            sx = 2.0 * sigma_px / w
-            sy = 2.0 * sigma_px / h
-            g = _gauss_rows(xg, yg, t_ref[:], sx, sy)
-        val = _reg_value_rows(z, g, xg, yg, reg, hw, sigma_px, h, w)
-        reg_ref[:] = val[:, None]
+    if reg == "none":
+        # Defer normalization to the (tile, 1) scalars — z never materializes.
+        e, s = _exp_rows(x_ref[:], preact)
+        rs = 1.0 / s
+        cx = jnp.sum(e * xg, axis=1, keepdims=True) * rs
+        cy = jnp.sum(e * yg, axis=1, keepdims=True) * rs
+        coords_ref[:] = jnp.concatenate([cx, cy], axis=1)
+        return
+    z = _activate_rows(x_ref[:], preact)
+    cx = jnp.sum(z * xg, axis=1, keepdims=True)
+    cy = jnp.sum(z * yg, axis=1, keepdims=True)
+    coords_ref[:] = jnp.concatenate([cx, cy], axis=1)
+    g = None
+    if reg in ("js", "kl", "mse"):
+        inv_sx = w / (2.0 * sigma_px)
+        inv_sy = h / (2.0 * sigma_px)
+        g = _gauss_rows_scaled(xgs_ref[:], ygs_ref[:],
+                               t_ref[:, 0:1] * inv_sx, t_ref[:, 1:2] * inv_sy)
+    reg_ref[:] = _reg_value_rows(z, g, xg, yg, reg, hw, sigma_px, h, w)
 
 
 def _bwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
-                w: int, x_ref, t_ref, gc_ref, gr_ref, xg_ref, yg_ref, dh_ref):
+                w: int, x_ref, t_ref, gc_ref, gr_ref, xg_ref, yg_ref,
+                xgs_ref, ygs_ref, dh_ref):
     z = _activate_rows(x_ref[:], preact)
     xg = xg_ref[:]
     yg = yg_ref[:]
@@ -182,9 +218,11 @@ def _bwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
     if reg != "none":
         g = None
         if reg in ("js", "kl", "mse"):
-            sx = 2.0 * sigma_px / w
-            sy = 2.0 * sigma_px / h
-            g = _gauss_rows(xg, yg, t_ref[:], sx, sy)
+            inv_sx = w / (2.0 * sigma_px)
+            inv_sy = h / (2.0 * sigma_px)
+            g = _gauss_rows_scaled(xgs_ref[:], ygs_ref[:],
+                                   t_ref[:, 0:1] * inv_sx,
+                                   t_ref[:, 1:2] * inv_sy)
         u = u + gr_ref[:] * _reg_grad_rows(z, g, xg, yg, reg, hw, sigma_px, h, w)
     dh_ref[:] = z * (u - jnp.sum(z * u, axis=1, keepdims=True))
 
@@ -205,7 +243,7 @@ def _bcast_spec(width):
 
 @functools.partial(jax.jit, static_argnames=("reg", "preact", "hw",
                                               "sigma_px", "h", "w"))
-def _fwd_call(x2, t2, xg, yg, *, reg, preact, hw, sigma_px, h, w):
+def _fwd_call(x2, t2, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px, h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
     kernel = functools.partial(_fwd_kernel, reg, preact, hw, sigma_px, h, w)
@@ -217,6 +255,7 @@ def _fwd_call(x2, t2, xg, yg, *, reg, preact, hw, sigma_px, h, w):
         kernel,
         grid=grid,
         in_specs=[_row_spec(_ROW_TILE, hwp), _row_spec(_ROW_TILE, 2),
+                  _bcast_spec(hwp), _bcast_spec(hwp),
                   _bcast_spec(hwp), _bcast_spec(hwp)],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -224,13 +263,14 @@ def _fwd_call(x2, t2, xg, yg, *, reg, preact, hw, sigma_px, h, w):
             flops=10 * n * hwp, transcendentals=transc,
             bytes_accessed=4 * n * hwp),
         interpret=_interpret(),
-    )(x2, t2, xg, yg)
+    )(x2, t2, xg, yg, xgs, ygs)
     return coords, regv[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("reg", "preact", "hw",
                                               "sigma_px", "h", "w"))
-def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, preact, hw, sigma_px, h, w):
+def _bwd_call(x2, t2, gc, gr, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px,
+              h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
     kernel = functools.partial(_bwd_kernel, reg, preact, hw, sigma_px, h, w)
@@ -240,6 +280,7 @@ def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, preact, hw, sigma_px, h, w):
         grid=grid,
         in_specs=[_row_spec(_ROW_TILE, hwp), _row_spec(_ROW_TILE, 2),
                   _row_spec(_ROW_TILE, 2), _row_spec(_ROW_TILE, 1),
+                  _bcast_spec(hwp), _bcast_spec(hwp),
                   _bcast_spec(hwp), _bcast_spec(hwp)],
         out_specs=_row_spec(_ROW_TILE, hwp),
         out_shape=jax.ShapeDtypeStruct((n, hwp), jnp.float32),
@@ -247,13 +288,15 @@ def _bwd_call(x2, t2, gc, gr, xg, yg, *, reg, preact, hw, sigma_px, h, w):
             flops=12 * n * hwp, transcendentals=transc,
             bytes_accessed=8 * n * hwp),
         interpret=_interpret(),
-    )(x2, t2, gc, gr, xg, yg)
+    )(x2, t2, gc, gr, xg, yg, xgs, ygs)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
     hw = h * w
     hw_pad = -(-hw // _LANE) * _LANE
+    inv_sx = w / (2.0 * sigma_px)
+    inv_sy = h / (2.0 * sigma_px)
 
     def _prep(raw2):
         pad = hw_pad - hw
@@ -261,12 +304,17 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
             raw2 = jnp.pad(raw2, ((0, 0), (0, pad)), constant_values=_PAD_NEG)
         return raw2
 
+    def _grids():
+        xg, yg = _grids_flat(h, w, hw_pad)
+        xgs, ygs = _grids_flat(h, w, hw_pad, inv_sx, inv_sy)
+        return xg, yg, xgs, ygs
+
     @jax.custom_vjp
     def fused(raw2, targets2):
-        xg, yg = _grids_flat(h, w, hw_pad)
-        coords, regv = _fwd_call(_prep(raw2), targets2, xg, yg, reg=reg,
-                                 preact=preact, hw=hw, sigma_px=sigma_px,
-                                 h=h, w=w)
+        xg, yg, xgs, ygs = _grids()
+        coords, regv = _fwd_call(_prep(raw2), targets2, xg, yg, xgs, ygs,
+                                 reg=reg, preact=preact, hw=hw,
+                                 sigma_px=sigma_px, h=h, w=w)
         return coords, regv
 
     def fwd(raw2, targets2):
@@ -276,10 +324,10 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
     def bwd(res, cts):
         raw2, targets2 = res
         g_coords, g_reg = cts
-        xg, yg = _grids_flat(h, w, hw_pad)
+        xg, yg, xgs, ygs = _grids()
         dh = _bwd_call(_prep(raw2), targets2,
                        g_coords.astype(jnp.float32),
-                       g_reg.astype(jnp.float32)[:, None], xg, yg,
+                       g_reg.astype(jnp.float32)[:, None], xg, yg, xgs, ygs,
                        reg=reg, preact=preact, hw=hw, sigma_px=sigma_px,
                        h=h, w=w)
         return dh[:, :hw], None
