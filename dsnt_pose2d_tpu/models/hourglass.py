@@ -110,8 +110,12 @@ class HourglassNet(nn.Module):
 
         x = x.astype(self.dtype)
         # Stem: 7x7/2 -> bottleneck -> pool -> 2 bottlenecks => stride 4.
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        # Explicit symmetric (3, 3) padding: the torch/Newell convention.
+        # flax 'SAME' would pad (2, 3) on stride-2, silently shifting the
+        # stem output half a pixel vs the reference lineage (the stride-1
+        # 3x3 convs below are unaffected — SAME == (1, 1) there).
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.relu(norm("stem_bn")(x))
         x = Bottleneck(64, dtype=self.dtype, name="stem_res1")(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
