@@ -44,7 +44,8 @@ def _baseline_ips() -> float:
 
 def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
                 use_pallas: bool = True, remat: bool = False,
-                base: str = "hg8", steps_per_dispatch: int = 1) -> float:
+                base: str = "hg8", steps_per_dispatch: int = 1,
+                warp: str = "") -> float:
     """Two-point, fetch-forced measurement.
 
     On remote/tunneled PJRT transports ``block_until_ready`` can return
@@ -62,7 +63,8 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
     from dsnt_pose2d_tpu.train.loop import make_step_fns
     from dsnt_pose2d_tpu.train.state import create_train_state
-    from dsnt_pose2d_tpu.utils.config import Config, ModelConfig, TrainConfig
+    from dsnt_pose2d_tpu.utils.config import (Config, DataConfig, ModelConfig,
+                                              TrainConfig)
 
     cfg = Config(
         model=ModelConfig(base=base, output_strat="dsnt", reg="js",
@@ -70,6 +72,7 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
                           remat=remat),
         train=TrainConfig(batch_size=batch, donate=True,
                           steps_per_dispatch=steps_per_dispatch),
+        data=DataConfig(warp_method=warp) if warp else DataConfig(),
     )
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)

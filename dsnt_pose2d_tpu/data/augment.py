@@ -65,13 +65,17 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
     fx, fy = x - x0, y - y0
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
-    padded = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))            # (H+1, W+1, C)
-    pair = jnp.concatenate([padded[:h], padded[1:h + 1]], -1)    # (H, W+1, 2C)
-    flat = pair.reshape(h * (w + 1), 2 * c)
+    # Zero border on ALL sides so the base corner may sit at -1: at the
+    # top/left edge the base is out-of-bounds while its +1 neighbor is the
+    # first in-bounds pixel — clamping the base to 0 would silently fetch
+    # neighbor row/column 1 instead of 0 for the blended edge pixels.
+    padded = jnp.pad(image, ((1, 1), (1, 1), (0, 0)))            # (H+2, W+2, C)
+    pair = jnp.concatenate([padded[:h + 1], padded[1:h + 2]], -1)  # (H+1, W+2, 2C)
+    flat = pair.reshape((h + 1) * (w + 2), 2 * c)
 
-    x0c = jnp.clip(x0i, 0, w - 1)
-    y0c = jnp.clip(y0i, 0, h - 1)
-    idx = y0c * (w + 1) + x0c
+    x0c = jnp.clip(x0i, -1, w - 1)
+    y0c = jnp.clip(y0i, -1, h - 1)
+    idx = (y0c + 1) * (w + 2) + (x0c + 1)
     ga = flat[idx]          # (S*S, 2C): corners (y0, x0) and (y0+1, x0)
     gb = flat[idx + 1]      # (S*S, 2C): corners (y0, x1) and (y0+1, x1)
 
@@ -86,6 +90,110 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
     bot = v10 * (1 - fx[:, None]) + v11 * fx[:, None]
     out = top * (1 - fy[:, None]) + bot * fy[:, None]
     return out.reshape(out_size, out_size, c)
+
+
+def _row_shift_lerp(rows: jnp.ndarray, offsets: jnp.ndarray, out_len: int,
+                    pad_left: int) -> jnp.ndarray:
+    """Per-row fractional shift: out[r, i] = rows_c(i + offsets[r]) bilinear.
+
+    ``rows`` (R, L, C) are zero-padded with ``pad_left`` columns on the left
+    (and at least ``ceil(max offset) + out_len - L + pad_left + 1`` on the
+    right — caller guarantees); reads outside yield 0.  One R-index gather of
+    (out_len + 1)-wide slices + a lerp — the shear-warp building block: R is
+    ~B*H (thousands), not B*H*W (millions), so the gather is span-fetch
+    bound, not index bound.
+    """
+    r, l, c = rows.shape
+    k = jnp.floor(offsets).astype(jnp.int32)
+    f = (offsets - jnp.floor(offsets)).astype(rows.dtype)[:, None, None]
+    starts = jnp.stack([jnp.arange(r, dtype=jnp.int32),
+                        jnp.clip(k + pad_left, 0, l - out_len - 1)], axis=1)
+    g = jax.lax.gather(
+        rows, starts,
+        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                       collapsed_slice_dims=(0,),
+                                       start_index_map=(0, 1)),
+        slice_sizes=(1, out_len + 1, c), mode="clip")
+    return (1.0 - f) * g[:, :out_len] + f * g[:, 1:]
+
+
+def _resample_matrix(positions: jnp.ndarray, in_len: int) -> jnp.ndarray:
+    """(B, OUT) real source positions -> (B, OUT, in_len) bilinear tent
+    weights with zero fill outside [0, in_len)."""
+    grid = jnp.arange(in_len, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(positions[..., None] - grid))
+
+
+def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
+                      out_size: int, max_abs_shear: float) -> jnp.ndarray:
+    """Batched affine warp via shear decomposition (MXU path).
+
+    Decomposes the out->in map ``A = Hx(a) . D(dx, dy) . Hy(b)`` (valid while
+    ``A11 != 0`` — rotations well below 90 deg) into:
+
+      1. x-shear of the input: per-(image, row) fractional shift -> one
+         ~B*H-index gather (vs the direct warp's B*out^2 indices),
+      2. separable scale+translate: two per-sample bilinear-resampling
+         MATMULS (einsum over a built tent-weight matrix) on the MXU,
+      3. y-shear: per-(image, column) fractional shift on the transposed
+         intermediate.
+
+    For rotation-free affines (a = b = 0: the eval center-crop, flips, pure
+    scale) every shear is an integer-zero shift and the separable resample
+    equals 2-D bilinear exactly, so this path is bit-comparable to
+    :func:`affine_warp_bilinear`.  With rotation the three chained 1-D
+    interpolations differ slightly from direct 2-D bilinear (the standard
+    multi-pass trade-off) — fine for train-time augmentation, which needs
+    statistical, not bitwise, equivalence (SURVEY "Hard parts" 3).
+
+    ``max_abs_shear`` (static) bounds |a| and |b| = |tan(rotation)|; it sizes
+    the intermediate extents.  Samples whose taps fall outside the sized
+    extents read 0 (same class of loss as out-of-canvas reads).
+    """
+    bsz, h, w, c = canvas.shape
+    s = out_size
+    canvas = canvas.astype(jnp.float32)
+    a2 = m_out_to_in[:, :2, :2]
+    t2 = m_out_to_in[:, :2, 2]
+    a = a2[:, 0, 1] / a2[:, 1, 1]
+    b = a2[:, 1, 0] / a2[:, 1, 1]
+    dy = a2[:, 1, 1]
+    dx = a2[:, 0, 0] - a2[:, 0, 1] * a2[:, 1, 0] / a2[:, 1, 1]
+    tpx = t2[:, 0] - a * t2[:, 1]
+    tpy = t2[:, 1]
+
+    px = int(-(-max_abs_shear * (h - 1) // 1)) + 1
+    py = int(-(-max_abs_shear * (s - 1) // 1)) + 1
+    w1 = w + 2 * px          # extended x extent of the sheared canvas
+    s2 = s + 2 * py          # extended y extent before the final y-shear
+
+    # Pass 1: x-shear. img1[b, y, vx] = in(vx - px + a*y, y).
+    # Reads span [a*y - px, a*y - px + w1) with a*y in [-px, px], so the
+    # padded row must cover [-2*px, w + 2*px).
+    pad = 2 * px + 2
+    rows = jnp.pad(canvas, ((0, 0), (0, 0), (pad, pad), (0, 0))
+                   ).reshape(bsz * h, w + 2 * pad, c)
+    offs = (a[:, None] * jnp.arange(h, dtype=jnp.float32)[None, :]
+            - px).reshape(bsz * h)
+    img1 = _row_shift_lerp(rows, offs, w1, pad).reshape(bsz, h, w1, c)
+
+    # Pass 2: separable scale+translate via two per-sample matmuls.
+    xs = jnp.arange(s, dtype=jnp.float32)
+    ax = _resample_matrix(dx[:, None] * xs + tpx[:, None] + px, w1)
+    tmp = jnp.einsum("bxw,bhwc->bhxc", ax, img1)          # (B, H, S, C)
+    uy = jnp.arange(s2, dtype=jnp.float32) - py
+    ay = _resample_matrix(dy[:, None] * uy + tpy[:, None], h)
+    img2 = jnp.einsum("bsh,bhxc->bsxc", ay, tmp)          # (B, S2, S, C)
+
+    # Pass 3: y-shear on the transposed intermediate.
+    img2t = jnp.swapaxes(img2, 1, 2)                      # (B, S, S2, C)
+    pad3 = 2
+    cols = jnp.pad(img2t, ((0, 0), (0, 0), (pad3, pad3), (0, 0))
+                   ).reshape(bsz * s, s2 + 2 * pad3, c)
+    offs3 = (b[:, None] * jnp.arange(s, dtype=jnp.float32)[None, :]
+             + py).reshape(bsz * s)
+    outt = _row_shift_lerp(cols, offs3, s, pad3).reshape(bsz, s, s, c)
+    return jnp.swapaxes(outt, 1, 2)
 
 
 @partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
@@ -145,8 +253,16 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
         center, (c_size / margin) / T.MPII_SCALE_BOX_PX, out_size,
         rot_rad=rot, scale_aug=scale, flip=flip)
 
-    warped = jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(
-        canvas, jnp.linalg.inv(m_crop_from_canvas), out_size)
+    m_out_to_in = jnp.linalg.inv(m_crop_from_canvas)
+    if getattr(cfg, "warp_method", "gather") == "shear":
+        import math
+
+        max_shear = (math.tan(math.radians(cfg.max_rotation_deg)) * 1.01
+                     if train else 0.0)
+        warped = affine_warp_shear(canvas, m_out_to_in, out_size, max_shear)
+    else:
+        warped = jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(
+            canvas, m_out_to_in, out_size)
 
     if train and cfg.color_jitter > 0:
         jit_scale = jax.random.uniform(

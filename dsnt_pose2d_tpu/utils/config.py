@@ -120,6 +120,12 @@ class DataConfig:
     scale_range: tuple[float, float] = (0.75, 1.25)
     flip_prob: float = 0.5
     color_jitter: float = 0.2  # per-channel scale in U(1-j, 1+j); 0 = off
+    # Bilinear warp implementation: 'gather' = direct 2-D bilinear (one
+    # gather per 2 corners; the parity reference), 'shear' = shear-decomposed
+    # multi-pass (per-row shifts + MXU resampling matmuls; exactly equal for
+    # rotation-free affines incl. the eval path, slightly different filtering
+    # under rotation, measurably faster on TPU).
+    warp_method: str = "gather"
     # ImageNet normalization constants (torchvision-pretrained lineage).
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)

@@ -85,6 +85,114 @@ class TestWarp:
         out = affine_warp_bilinear(img, m, 8)
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
 
+    def test_top_left_edge_blend(self, rng):
+        # Regression: source base corner at -1 with its +1 neighbor in-bounds
+        # (the first out-of-image row/column blends in as zero). The batched
+        # two-gather warp once fetched neighbor row/col 1 instead of 0 here.
+        img = jnp.asarray(rng.uniform(size=(8, 8, 3)).astype(np.float32))
+        m = jnp.asarray([[1.0, 0, -0.7], [0, 1.0, -0.7], [0, 0, 1]])
+        out = np.asarray(affine_warp_bilinear(img, m, 8))
+
+        def ref_px(x, y):
+            import math
+            x0, y0 = math.floor(x), math.floor(y)
+            fx, fy = x - x0, y - y0
+            def at(xi, yi):
+                if 0 <= xi < 8 and 0 <= yi < 8:
+                    return np.asarray(img)[yi, xi]
+                return np.zeros(3, np.float32)
+            return ((1 - fy) * ((1 - fx) * at(x0, y0) + fx * at(x0 + 1, y0))
+                    + fy * ((1 - fx) * at(x0, y0 + 1) + fx * at(x0 + 1, y0 + 1)))
+
+        for oy in (0, 1, 7):
+            for ox in (0, 1, 7):
+                np.testing.assert_allclose(
+                    out[oy, ox], ref_px(ox - 0.7, oy - 0.7), atol=1e-5,
+                    err_msg=f"pixel ({ox},{oy})")
+
+
+class TestShearWarp:
+    """affine_warp_shear vs the direct-gather reference.
+
+    Rotation-free affines (identity, translate, scale, flip) must match the
+    direct warp EXACTLY (separable bilinear == 2-D bilinear there); rotations
+    use three chained 1-D interpolations and only need to be close.
+    """
+
+    def _direct(self, imgs, ms, size):
+        from dsnt_pose2d_tpu.data.augment import affine_warp_bilinear
+
+        return jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(
+            imgs, ms, size)
+
+    def _batch(self, rng, n=2, c=24):
+        return jnp.asarray(rng.uniform(size=(n, c, c, 3)).astype(np.float32))
+
+    @pytest.mark.parametrize("m", [
+        np.eye(3, dtype=np.float32),
+        np.asarray([[1, 0, 2.3], [0, 1, -1.7], [0, 0, 1]], np.float32),
+        np.asarray([[1.4, 0, 1.0], [0, 0.8, 2.0], [0, 0, 1]], np.float32),
+        np.asarray([[-1.0, 0, 23.0], [0, 1, 0], [0, 0, 1]], np.float32),
+    ])
+    def test_rotation_free_matches_direct_exactly(self, rng, m):
+        from dsnt_pose2d_tpu.data.augment import affine_warp_shear
+
+        imgs = self._batch(rng)
+        ms = jnp.broadcast_to(jnp.asarray(m), (2, 3, 3))
+        ours = affine_warp_shear(imgs, ms, 24, max_abs_shear=0.0)
+        ref = self._direct(imgs, ms, 24)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_rotation_statistically_close(self, rng):
+        import math
+
+        from dsnt_pose2d_tpu.data.augment import affine_warp_shear
+
+        imgs = self._batch(rng, n=2, c=32)
+        # Smooth the noise so interpolation-filter differences stay small.
+        k = jnp.ones((3, 3, 1, 1)) / 9.0
+        imgs = jax.lax.conv_general_dilated(
+            imgs.transpose(0, 3, 1, 2).reshape(6, 1, 32, 32), k,
+            (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW")
+        ).reshape(2, 3, 32, 32).transpose(0, 2, 3, 1)
+        th = math.radians(20.0)
+        cos, sin = math.cos(th), math.sin(th)
+        cx = (32 - 1) / 2.0
+        rot = np.asarray([[cos, -sin, cx - cos * cx + sin * cx],
+                          [sin, cos, cx - sin * cx - cos * cx],
+                          [0, 0, 1]], np.float32)
+        ms = jnp.broadcast_to(jnp.asarray(rot), (2, 3, 3))
+        ours = affine_warp_shear(imgs, ms, 32, max_abs_shear=math.tan(th) * 1.01)
+        ref = self._direct(imgs, ms, 32)
+        # Interior pixels (borders differ by extent clipping).  The chained
+        # 1-D interpolations low-pass slightly differently from direct 2-D
+        # bilinear, so ~1% mean difference on (smoothed) noise is the
+        # expected filter gap, not an error.
+        d = np.abs(np.asarray(ours - ref))[:, 4:-4, 4:-4]
+        assert d.mean() < 0.02 and d.max() < 0.2
+
+    def test_preprocess_eval_path_warp_methods_agree(self):
+        from dataclasses import replace
+
+        from dsnt_pose2d_tpu.data.augment import preprocess_batch
+        from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
+        from dsnt_pose2d_tpu.utils.config import DataConfig
+
+        data = {k: jnp.asarray(v)
+                for k, v in make_synthetic_mpii(3, canvas_size=48, seed=2).items()}
+        key = jax.random.PRNGKey(0)
+        outs = {}
+        for method in ("gather", "shear"):
+            cfg = DataConfig(warp_method=method)
+            outs[method] = preprocess_batch(
+                key, data["canvases"], data["coords_px"], data["mask"],
+                data["head_length"], data["canvas_from_orig"], cfg, 32,
+                False, canvas_margin=data["canvas_margin"])
+        np.testing.assert_allclose(outs["shear"]["images"],
+                                   outs["gather"]["images"], atol=1e-4)
+        np.testing.assert_allclose(outs["shear"]["coords"],
+                                   outs["gather"]["coords"], atol=1e-6)
+
 
 class TestPreprocess:
     def _data(self, n=4, c=48):

@@ -25,6 +25,7 @@ def main():
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--base", default="hg8")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--warp", default="gather")
     p.add_argument("--out", default="docs/traces/hg8")
     args = p.parse_args()
 
@@ -35,12 +36,13 @@ def main():
     from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
     from dsnt_pose2d_tpu.train.loop import make_step_fns
     from dsnt_pose2d_tpu.train.state import create_train_state
-    from dsnt_pose2d_tpu.utils.config import Config, ModelConfig, TrainConfig
+    from dsnt_pose2d_tpu.utils.config import (Config, DataConfig, ModelConfig, TrainConfig)
 
     cfg = Config(
         model=ModelConfig(base=args.base, output_strat="dsnt", reg="js",
                           dtype="bfloat16", use_pallas=True, remat=args.remat),
         train=TrainConfig(batch_size=args.batch, donate=True),
+        data=DataConfig(warp_method=args.warp),
     )
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)
@@ -88,6 +90,7 @@ def main():
     peak_bw = 819e9
     rec = {
         "base": args.base, "batch": args.batch, "remat": args.remat,
+        "warp": args.warp,
         "step_ms": round(step_s * 1e3, 2),
         "images_per_sec": round(args.batch / step_s, 1),
         "xla_tflop_per_step": round(flops / 1e12, 3),
