@@ -57,6 +57,10 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--synthetic-size", type=int, default=256)
     g.add_argument("--canvas-size", type=int, default=0,
                    help="host canvas px (0 = auto)")
+    g.add_argument("--warp-method", default="shear",
+                   choices=["gather", "shear"],
+                   help="on-device bilinear warp implementation (shear = "
+                        "faster multi-pass; gather = direct 2-D reference)")
     g.add_argument("--workers", type=int, default=1,
                    help="loader sample-fetch threads (native decode is GIL-free)")
     g.add_argument("--pretrained-resnet", default="",
@@ -94,6 +98,7 @@ def config_from_args(args) -> Config:
         data_dir=args.data_dir, source=args.data_source,
         synthetic_size=args.synthetic_size,
         canvas_size=getattr(args, "canvas_size", 0),
+        warp_method=getattr(args, "warp_method", "shear"),
         workers=getattr(args, "workers", 1),
         pretrained_resnet=getattr(args, "pretrained_resnet", ""))
     optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,

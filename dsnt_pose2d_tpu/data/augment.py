@@ -96,25 +96,21 @@ def _row_shift_lerp(rows: jnp.ndarray, offsets: jnp.ndarray, out_len: int,
                     pad_left: int) -> jnp.ndarray:
     """Per-row fractional shift: out[r, i] = rows_c(i + offsets[r]) bilinear.
 
-    ``rows`` (R, L, C) are zero-padded with ``pad_left`` columns on the left
-    (and at least ``ceil(max offset) + out_len - L + pad_left + 1`` on the
-    right — caller guarantees); reads outside yield 0.  One R-index gather of
-    (out_len + 1)-wide slices + a lerp — the shear-warp building block: R is
-    ~B*H (thousands), not B*H*W (millions), so the gather is span-fetch
-    bound, not index bound.
+    ``rows`` (R, L) are zero-padded with ``pad_left`` columns on the left
+    (and enough on the right — caller guarantees); reads outside yield 0.
+    R is ~B*C*H (tens of thousands), not B*H*W*C (millions).  Implemented as
+    a Pallas kernel (:mod:`..ops.pallas.row_shift`): the equivalent
+    ``lax.gather`` with per-row starts lowers to a SERIAL scalar loop on
+    XLA:TPU (~2 us/row), while the kernel streams blocks of rows through
+    VMEM with the starts on scalar prefetch.
     """
-    r, l, c = rows.shape
-    k = jnp.floor(offsets).astype(jnp.int32)
-    f = (offsets - jnp.floor(offsets)).astype(rows.dtype)[:, None, None]
-    starts = jnp.stack([jnp.arange(r, dtype=jnp.int32),
-                        jnp.clip(k + pad_left, 0, l - out_len - 1)], axis=1)
-    g = jax.lax.gather(
-        rows, starts,
-        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
-                                       collapsed_slice_dims=(0,),
-                                       start_index_map=(0, 1)),
-        slice_sizes=(1, out_len + 1, c), mode="clip")
-    return (1.0 - f) * g[:, :out_len] + f * g[:, 1:]
+    from ..ops.pallas.row_shift import shift_rows
+
+    r, l = rows.shape
+    k = jnp.floor(offsets)
+    f = (offsets - k).astype(rows.dtype)
+    starts = jnp.clip(k.astype(jnp.int32) + pad_left, 0, l - out_len - 1)
+    return shift_rows(rows, starts, f, out_len)
 
 
 def _resample_matrix(positions: jnp.ndarray, in_len: int) -> jnp.ndarray:
@@ -131,16 +127,20 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     Decomposes the out->in map ``A = Hx(a) . D(dx, dy) . Hy(b)`` (valid while
     ``A11 != 0`` — rotations well below 90 deg) into:
 
-      1. x-shear of the input: per-(image, row) fractional shift -> one
-         ~B*H-index gather (vs the direct warp's B*out^2 indices),
+      1. x-shear of the input: per-(image, channel, row) fractional shift ->
+         one ~B*C*H-index gather (vs the direct warp's B*out^2 indices),
       2. separable scale+translate: two per-sample bilinear-resampling
-         MATMULS (einsum over a built tent-weight matrix) on the MXU,
-      3. y-shear: per-(image, column) fractional shift on the transposed
-         intermediate.
+         MATMULS (einsum over a built tent-weight matrix, HIGHEST precision)
+         on the MXU,
+      3. y-shear on the transposed intermediate.
+
+    Internally channel-PLANAR (B, C, H, W): a trailing C=3 dim makes both the
+    slice gather and the matmul contraction tile terribly on TPU (measured
+    2.5x whole-step regression in the interleaved layout).
 
     For rotation-free affines (a = b = 0: the eval center-crop, flips, pure
     scale) every shear is an integer-zero shift and the separable resample
-    equals 2-D bilinear exactly, so this path is bit-comparable to
+    equals 2-D bilinear exactly, so this path matches
     :func:`affine_warp_bilinear`.  With rotation the three chained 1-D
     interpolations differ slightly from direct 2-D bilinear (the standard
     multi-pass trade-off) — fine for train-time augmentation, which needs
@@ -152,7 +152,7 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     """
     bsz, h, w, c = canvas.shape
     s = out_size
-    canvas = canvas.astype(jnp.float32)
+    img = jnp.transpose(canvas.astype(jnp.float32), (0, 3, 1, 2))  # planar
     a2 = m_out_to_in[:, :2, :2]
     t2 = m_out_to_in[:, :2, 2]
     a = a2[:, 0, 1] / a2[:, 1, 1]
@@ -167,33 +167,37 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     w1 = w + 2 * px          # extended x extent of the sheared canvas
     s2 = s + 2 * py          # extended y extent before the final y-shear
 
-    # Pass 1: x-shear. img1[b, y, vx] = in(vx - px + a*y, y).
-    # Reads span [a*y - px, a*y - px + w1) with a*y in [-px, px], so the
-    # padded row must cover [-2*px, w + 2*px).
+    hp = jax.lax.Precision.HIGHEST
+
+    # Pass 1: x-shear. img1[b, ch, y, vx] = in(vx - px + a*y, y).  Reads span
+    # [a*y - px, a*y - px + w1) with a*y in [-px, px] -> pad [-2px, w + 2px).
     pad = 2 * px + 2
-    rows = jnp.pad(canvas, ((0, 0), (0, 0), (pad, pad), (0, 0))
-                   ).reshape(bsz * h, w + 2 * pad, c)
-    offs = (a[:, None] * jnp.arange(h, dtype=jnp.float32)[None, :]
-            - px).reshape(bsz * h)
-    img1 = _row_shift_lerp(rows, offs, w1, pad).reshape(bsz, h, w1, c)
+    rows = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (pad, pad))
+                   ).reshape(bsz * c * h, w + 2 * pad)
+    offs = jnp.broadcast_to(
+        (a[:, None] * jnp.arange(h, dtype=jnp.float32)[None, :]
+         - px)[:, None, :], (bsz, c, h)).reshape(bsz * c * h)
+    img1 = _row_shift_lerp(rows, offs, w1, pad).reshape(bsz, c, h, w1)
 
     # Pass 2: separable scale+translate via two per-sample matmuls.
     xs = jnp.arange(s, dtype=jnp.float32)
     ax = _resample_matrix(dx[:, None] * xs + tpx[:, None] + px, w1)
-    tmp = jnp.einsum("bxw,bhwc->bhxc", ax, img1)          # (B, H, S, C)
+    tmp = jnp.einsum("bxw,bchw->bchx", ax, img1, precision=hp)  # (B,C,H,S)
     uy = jnp.arange(s2, dtype=jnp.float32) - py
     ay = _resample_matrix(dy[:, None] * uy + tpy[:, None], h)
-    img2 = jnp.einsum("bsh,bhxc->bsxc", ay, tmp)          # (B, S2, S, C)
+    img2 = jnp.einsum("bsh,bchx->bcsx", ay, tmp, precision=hp)  # (B,C,S2,S)
 
     # Pass 3: y-shear on the transposed intermediate.
-    img2t = jnp.swapaxes(img2, 1, 2)                      # (B, S, S2, C)
+    img2t = jnp.swapaxes(img2, 2, 3)                            # (B,C,S,S2)
     pad3 = 2
-    cols = jnp.pad(img2t, ((0, 0), (0, 0), (pad3, pad3), (0, 0))
-                   ).reshape(bsz * s, s2 + 2 * pad3, c)
-    offs3 = (b[:, None] * jnp.arange(s, dtype=jnp.float32)[None, :]
-             + py).reshape(bsz * s)
-    outt = _row_shift_lerp(cols, offs3, s, pad3).reshape(bsz, s, s, c)
-    return jnp.swapaxes(outt, 1, 2)
+    cols = jnp.pad(img2t, ((0, 0), (0, 0), (0, 0), (pad3, pad3))
+                   ).reshape(bsz * c * s, s2 + 2 * pad3)
+    offs3 = jnp.broadcast_to(
+        (b[:, None] * jnp.arange(s, dtype=jnp.float32)[None, :]
+         + py)[:, None, :], (bsz, c, s)).reshape(bsz * c * s)
+    outt = _row_shift_lerp(cols, offs3, s, pad3).reshape(bsz, c, s, s)
+    # outt[b, ch, x, y] -> (B, y, x, C)
+    return jnp.transpose(outt, (0, 3, 2, 1))
 
 
 @partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
@@ -281,7 +285,8 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
     mask = jnp.where(flip[:, None], mask[:, perm], mask)
     coords_norm = (2.0 * coords_crop + 1.0) / out_size - 1.0
 
-    crop_from_orig = m_crop_from_canvas @ canvas_from_orig
+    crop_from_orig = jnp.matmul(m_crop_from_canvas, canvas_from_orig,
+                                precision=jax.lax.Precision.HIGHEST)
     return {
         "images": images,
         "coords": coords_norm,

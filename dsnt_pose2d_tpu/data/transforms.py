@@ -21,6 +21,7 @@ of the exact matrix used for cropping.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 MPII_SCALE_BOX_PX = 200.0
@@ -37,6 +38,18 @@ MPII_JOINT_NAMES = (
 # Left/right pair table (SURVEY.md C11): {(0,5),(1,4),(2,3),(10,15),(11,14),(12,13)}
 MPII_FLIP_PAIRS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
 
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3x3 affine composition at FULL f32 precision.
+
+    Coordinate matrices carry translations of O(100-400) px; the TPU's
+    default bf16 matmul precision rounds those to ~1-2 px (bf16 ulp at 384
+    is 2.0) — a silent whole-pixel error in every warp source position and
+    joint target.  All affine composition/application in this module
+    therefore pins Precision.HIGHEST (the matrices are 3x3 — cost is nil).
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 def flip_permutation(num_joints: int = 16, pairs=MPII_FLIP_PAIRS):
     perm = list(range(num_joints))
@@ -99,13 +112,13 @@ def crop_transform(center_xy, scale, out_size: int, rot_rad=0.0,
     s = out_size / box
     half = (out_size - 1) / 2.0
     m = translation(jnp.broadcast_to(half, cx.shape), half)
-    m = m @ scaling(s, s) @ rotation(rot_rad) @ translation(-cx, -cy)
+    m = _mm(m, _mm(scaling(s, s), _mm(rotation(rot_rad), translation(-cx, -cy))))
     flip_f = jnp.asarray(flip, jnp.float32)
     # x' = (S-1) - x when flipped: compose diag(-1,1) + translate in crop px.
     sign = 1.0 - 2.0 * flip_f
-    fm = translation(flip_f * (out_size - 1.0), jnp.zeros_like(flip_f)) @ scaling(
-        sign, jnp.ones_like(sign))
-    return fm @ m
+    fm = _mm(translation(flip_f * (out_size - 1.0), jnp.zeros_like(flip_f)),
+             scaling(sign, jnp.ones_like(sign)))
+    return _mm(fm, m)
 
 
 def transform_coords(m: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -118,7 +131,8 @@ def transform_coords(m: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     if squeeze:
         coords = coords[..., None, :]
     homo = jnp.concatenate([coords, jnp.ones_like(coords[..., :1])], axis=-1)
-    out = jnp.einsum("...ij,...nj->...ni", m, homo)
+    out = jnp.einsum("...ij,...nj->...ni", m, homo,
+                     precision=jax.lax.Precision.HIGHEST)
     out = out[..., :2] / out[..., 2:3]
     return out[..., 0, :] if squeeze else out
 

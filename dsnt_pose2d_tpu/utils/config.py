@@ -120,12 +120,16 @@ class DataConfig:
     scale_range: tuple[float, float] = (0.75, 1.25)
     flip_prob: float = 0.5
     color_jitter: float = 0.2  # per-channel scale in U(1-j, 1+j); 0 = off
-    # Bilinear warp implementation: 'gather' = direct 2-D bilinear (one
-    # gather per 2 corners; the parity reference), 'shear' = shear-decomposed
-    # multi-pass (per-row shifts + MXU resampling matmuls; exactly equal for
-    # rotation-free affines incl. the eval path, slightly different filtering
-    # under rotation, measurably faster on TPU).
-    warp_method: str = "gather"
+    # Bilinear warp implementation.  'shear' (default) = shear-decomposed
+    # multi-pass: per-row shifts via the Pallas row_shift kernel + MXU
+    # resampling matmuls — EXACTLY equal to direct 2-D bilinear for every
+    # rotation-free affine (the deterministic eval path, flips, scales: the
+    # inference-parity boundary per SURVEY "Hard parts" 3), slightly
+    # different interpolation filtering for rotated TRAIN samples (where the
+    # reference's own PIL resampler already differs), and ~30% faster
+    # whole-train-step on v5e.  'gather' = direct 2-D bilinear (the in-repo
+    # bitwise reference, also used as the shear path's test oracle).
+    warp_method: str = "shear"
     # ImageNet normalization constants (torchvision-pretrained lineage).
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)

@@ -146,3 +146,25 @@ def test_large_batch_tiling():
     coords_o, regv_o = _oracle(raw, t, 1.0, "js")
     np.testing.assert_allclose(coords, coords_o, atol=2e-6)
     np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(64, 328, 210), (48, 146, 64),
+                                   (256, 1288, 836), (16, 512, 300)])
+def test_row_shift_matches_reference(shape):
+    # Shapes chosen to exercise non-power-of-two padded widths and both
+    # k_hi = 0 and k_hi = 128 aligned windows: compiled dynamic lane rotates
+    # were wrong at non-power-of-two widths (the wrapper now sizes windows
+    # to powers of two) — keep these pinned on both interpret and TPU runs.
+    from dsnt_pose2d_tpu.ops.pallas.row_shift import shift_rows
+
+    r, l, out = shape
+    rng = np.random.default_rng(r + l)
+    rows = rng.uniform(size=(r, l)).astype(np.float32)
+    starts = rng.integers(0, l - out - 1, size=(r,)).astype(np.int32)
+    fracs = rng.uniform(size=(r,)).astype(np.float32)
+    got = np.asarray(shift_rows(jnp.asarray(rows), jnp.asarray(starts),
+                                jnp.asarray(fracs), out))
+    exp = np.stack([(1 - fracs[i]) * rows[i, starts[i]:starts[i] + out]
+                    + fracs[i] * rows[i, starts[i] + 1:starts[i] + out + 1]
+                    for i in range(r)])
+    np.testing.assert_allclose(got, exp, atol=1e-6)
