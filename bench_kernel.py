@@ -289,6 +289,35 @@ def calibrate(rows: int, iters: int):
     return out
 
 
+def bench_row_shift(iters: int):
+    """Roofline for the second kernel (ops/pallas/row_shift): the shear
+    warp's per-row shift at the hg8-flagship pass-1 shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsnt_pose2d_tpu.ops.pallas.row_shift import shift_rows
+
+    r, l, out = 18432, 1354, 836
+    rows = jax.random.uniform(jax.random.PRNGKey(0), (r, l), jnp.float32)
+    starts = jax.random.randint(jax.random.PRNGKey(1), (r,), 0, l - out - 1)
+    fracs = jax.random.uniform(jax.random.PRNGKey(2), (r,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(rows, starts, iters):
+        def body(i, acc):
+            s = (starts + acc.astype(jnp.int32)) % (l - out - 1)
+            o = shift_rows(rows, s, fracs, out)
+            return acc + o[0, 0] * 1e-20
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    sec = _time_chain(lambda a, b, n: run(rows, starts, n), None, None, iters)
+    bytes_rw = (r * l + r * out) * 4
+    return {"kernel": "row_shift", "rows": r, "l": l, "out": out,
+            "ms": round(sec * 1e3, 3),
+            "gbps_read_write": round(bytes_rw / sec / 1e9, 1)}
+
+
 def main():
     import jax
 
@@ -309,6 +338,7 @@ def main():
     print(json.dumps({"calibration": cal, "rows": rows,
                       "device": dev.device_kind, "peak_hbm_gbps": peak}),
           flush=True)
+    print(json.dumps(bench_row_shift(iters)), flush=True)
 
     # Empirical speed-of-light: what the DMA engines actually sustain for
     # this access pattern (the copy micro-kernel), not the datasheet number.

@@ -93,24 +93,25 @@ def affine_warp_bilinear(image: jnp.ndarray, m_out_to_in: jnp.ndarray,
 
 
 def _row_shift_lerp(rows: jnp.ndarray, offsets: jnp.ndarray, out_len: int,
-                    pad_left: int) -> jnp.ndarray:
-    """Per-row fractional shift: out[r, i] = rows_c(i + offsets[r]) bilinear.
+                    pad_left: int, stride: int = 1) -> jnp.ndarray:
+    """Per-row fractional PIXEL shift on (R, L_px * stride) element rows.
 
-    ``rows`` (R, L) are zero-padded with ``pad_left`` columns on the left
-    (and enough on the right — caller guarantees); reads outside yield 0.
-    R is ~B*C*H (tens of thousands), not B*H*W*C (millions).  Implemented as
-    a Pallas kernel (:mod:`..ops.pallas.row_shift`): the equivalent
-    ``lax.gather`` with per-row starts lowers to a SERIAL scalar loop on
-    XLA:TPU (~2 us/row), while the kernel streams blocks of rows through
-    VMEM with the starts on scalar prefetch.
+    ``offsets``/``pad_left``/``out_len`` are in PIXELS; ``stride`` is the
+    elements-per-pixel factor (C for channel-interleaved rows — all channels
+    of an image row ride one kernel row, cutting per-row loop iterations by
+    C vs channel-planar).  Zero-padded by the caller; reads outside yield 0.
+    Implemented by the Pallas kernel (:mod:`..ops.pallas.row_shift`): the
+    equivalent ``lax.gather`` with per-row starts lowers to a SERIAL scalar
+    loop on XLA:TPU (~2 us/row).
     """
     from ..ops.pallas.row_shift import shift_rows
 
     r, l = rows.shape
     k = jnp.floor(offsets)
     f = (offsets - k).astype(rows.dtype)
-    starts = jnp.clip(k.astype(jnp.int32) + pad_left, 0, l - out_len - 1)
-    return shift_rows(rows, starts, f, out_len)
+    starts = jnp.clip(k.astype(jnp.int32) + pad_left, 0,
+                      l // stride - out_len - 1) * stride
+    return shift_rows(rows, starts, f, out_len * stride, stride)
 
 
 def _resample_matrix(positions: jnp.ndarray, in_len: int) -> jnp.ndarray:
@@ -127,16 +128,16 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     Decomposes the out->in map ``A = Hx(a) . D(dx, dy) . Hy(b)`` (valid while
     ``A11 != 0`` — rotations well below 90 deg) into:
 
-      1. x-shear of the input: per-(image, channel, row) fractional shift ->
-         one ~B*C*H-index gather (vs the direct warp's B*out^2 indices),
+      1. x-shear of the input: per-(image, row) fractional shift -> one
+         ~B*H-row Pallas pass (vs the direct warp's B*out^2 gather indices),
       2. separable scale+translate: two per-sample bilinear-resampling
          MATMULS (einsum over a built tent-weight matrix, HIGHEST precision)
          on the MXU,
       3. y-shear on the transposed intermediate.
 
-    Internally channel-PLANAR (B, C, H, W): a trailing C=3 dim makes both the
-    slice gather and the matmul contraction tile terribly on TPU (measured
-    2.5x whole-step regression in the interleaved layout).
+    The shift passes run on channel-INTERLEAVED rows (one kernel row per
+    (image, row), a one-pixel shift = C elements) so all channels share a
+    single per-row loop iteration — 3x fewer rows than channel-planar.
 
     For rotation-free affines (a = b = 0: the eval center-crop, flips, pure
     scale) every shear is an integer-zero shift and the separable resample
@@ -152,7 +153,7 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     """
     bsz, h, w, c = canvas.shape
     s = out_size
-    img = jnp.transpose(canvas.astype(jnp.float32), (0, 3, 1, 2))  # planar
+    img = canvas.astype(jnp.float32)                    # NHWC, interleaved
     a2 = m_out_to_in[:, :2, :2]
     t2 = m_out_to_in[:, :2, 2]
     a = a2[:, 0, 1] / a2[:, 1, 1]
@@ -169,35 +170,36 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
 
     hp = jax.lax.Precision.HIGHEST
 
-    # Pass 1: x-shear. img1[b, ch, y, vx] = in(vx - px + a*y, y).  Reads span
+    # Pass 1: x-shear. img1[b, y, vx, ch] = in(vx - px + a*y, y).  Reads span
     # [a*y - px, a*y - px + w1) with a*y in [-px, px] -> pad [-2px, w + 2px).
+    # Channel-interleaved rows: one kernel row per (b, y), not per (b, ch, y).
     pad = 2 * px + 2
-    rows = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (pad, pad))
-                   ).reshape(bsz * c * h, w + 2 * pad)
-    offs = jnp.broadcast_to(
-        (a[:, None] * jnp.arange(h, dtype=jnp.float32)[None, :]
-         - px)[:, None, :], (bsz, c, h)).reshape(bsz * c * h)
-    img1 = _row_shift_lerp(rows, offs, w1, pad).reshape(bsz, c, h, w1)
+    rows = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (0, 0))
+                   ).reshape(bsz * h, (w + 2 * pad) * c)
+    offs = (a[:, None] * jnp.arange(h, dtype=jnp.float32)[None, :]
+            - px).reshape(bsz * h)
+    img1 = _row_shift_lerp(rows, offs, w1, pad, stride=c
+                           ).reshape(bsz, h, w1, c)
 
     # Pass 2: separable scale+translate via two per-sample matmuls.
     xs = jnp.arange(s, dtype=jnp.float32)
     ax = _resample_matrix(dx[:, None] * xs + tpx[:, None] + px, w1)
-    tmp = jnp.einsum("bxw,bchw->bchx", ax, img1, precision=hp)  # (B,C,H,S)
+    tmp = jnp.einsum("bxw,bhwc->bhxc", ax, img1, precision=hp)  # (B,H,S,C)
     uy = jnp.arange(s2, dtype=jnp.float32) - py
     ay = _resample_matrix(dy[:, None] * uy + tpy[:, None], h)
-    img2 = jnp.einsum("bsh,bchx->bcsx", ay, tmp, precision=hp)  # (B,C,S2,S)
+    img2 = jnp.einsum("bsh,bhxc->bsxc", ay, tmp, precision=hp)  # (B,S2,S,C)
 
-    # Pass 3: y-shear on the transposed intermediate.
-    img2t = jnp.swapaxes(img2, 2, 3)                            # (B,C,S,S2)
+    # Pass 3: y-shear along s2, on x-major rows.
+    img2t = jnp.swapaxes(img2, 1, 2)                            # (B,S,S2,C)
     pad3 = 2
-    cols = jnp.pad(img2t, ((0, 0), (0, 0), (0, 0), (pad3, pad3))
-                   ).reshape(bsz * c * s, s2 + 2 * pad3)
-    offs3 = jnp.broadcast_to(
-        (b[:, None] * jnp.arange(s, dtype=jnp.float32)[None, :]
-         + py)[:, None, :], (bsz, c, s)).reshape(bsz * c * s)
-    outt = _row_shift_lerp(cols, offs3, s, pad3).reshape(bsz, c, s, s)
-    # outt[b, ch, x, y] -> (B, y, x, C)
-    return jnp.transpose(outt, (0, 3, 2, 1))
+    cols = jnp.pad(img2t, ((0, 0), (0, 0), (pad3, pad3), (0, 0))
+                   ).reshape(bsz * s, (s2 + 2 * pad3) * c)
+    offs3 = (b[:, None] * jnp.arange(s, dtype=jnp.float32)[None, :]
+             + py).reshape(bsz * s)
+    outt = _row_shift_lerp(cols, offs3, s, pad3, stride=c
+                           ).reshape(bsz, s, s, c)
+    # outt[b, x, y, ch] -> (B, y, x, C)
+    return jnp.swapaxes(outt, 1, 2)
 
 
 @partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
@@ -257,12 +259,27 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
         center, (c_size / margin) / T.MPII_SCALE_BOX_PX, out_size,
         rot_rad=rot, scale_aug=scale, flip=flip)
 
-    m_out_to_in = jnp.linalg.inv(m_crop_from_canvas)
-    if getattr(cfg, "warp_method", "gather") == "shear":
+    m_out_to_in = T.invert(m_crop_from_canvas)
+    use_shear = getattr(cfg, "warp_method", "gather") == "shear"
+    if use_shear and train and cfg.max_rotation_deg > 60.0:
+        # The shear decomposition divides by A11 ~ cos(rot): extents balloon
+        # and the factorization degenerates toward 90 deg. Nobody trains
+        # MPII beyond +-45; fall back loudly rather than warp garbage.
+        import warnings
+
+        warnings.warn(
+            f"warp_method='shear' requires max_rotation_deg <= 60 "
+            f"(got {cfg.max_rotation_deg}); falling back to 'gather'")
+        use_shear = False
+    if use_shear:
         import math
 
+        # Zero shear extents whenever rotation cannot occur (eval, rot
+        # disabled): the shears reduce to integer shifts and the path is
+        # bit-comparable to the direct warp with identical padding offsets.
+        rotates = train and cfg.max_rotation_deg > 0 and cfg.rotation_prob > 0
         max_shear = (math.tan(math.radians(cfg.max_rotation_deg)) * 1.01
-                     if train else 0.0)
+                     if rotates else 0.0)
         warped = affine_warp_shear(canvas, m_out_to_in, out_size, max_shear)
     else:
         warped = jax.vmap(affine_warp_bilinear, in_axes=(0, 0, None))(

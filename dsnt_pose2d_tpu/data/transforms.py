@@ -138,4 +138,25 @@ def transform_coords(m: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def invert(m: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.inv(m)
+    """Closed-form inverse of ``(..., 3, 3)`` affine matrices.
+
+    ``inv([A t; 0 1]) = [A^-1, -A^-1 t; 0 1]`` with the 2x2 adjugate —
+    elementwise f32 math, so it sidesteps any batched-LU lowering and the
+    TPU default-matmul-precision trap entirely (translations are O(100s) of
+    px; see :func:`_mm`).
+    """
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    tx, ty = m[..., 0, 2], m[..., 1, 2]
+    det = a * d - b * c
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+    zero = jnp.zeros_like(a)
+    one = jnp.ones_like(a)
+    return jnp.stack([
+        jnp.stack([ia, ib, itx], axis=-1),
+        jnp.stack([ic, id_, ity], axis=-1),
+        jnp.stack([zero, zero, one], axis=-1),
+    ], axis=-2)

@@ -29,7 +29,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(out_len: int, win: int, k_ref, f_ref, in_ref, out_ref):
+def _kernel(out_len: int, win: int, stride: int, k_ref, f_ref, in_ref,
+            out_ref):
     # Lane-dim dynamic slices must be 128-aligned on TPU: slice an aligned
     # window covering [k, k + out_len + 1] and left-rotate the sub-128
     # remainder in-register with ONE dynamic roll.  CAVEAT pinned by
@@ -49,20 +50,26 @@ def _kernel(out_len: int, win: int, k_ref, f_ref, in_ref, out_ref):
         row = in_ref[pl.ds(i, 1), pl.ds(k_hi, win)]
         row = pltpu.roll(row, win - k_lo, 1)   # left-rotate k_lo, shift >= 0
         out_ref[pl.ds(i, 1), :] = ((1.0 - f) * row[:, :out_len]
-                                   + f * row[:, 1:out_len + 1])
+                                   + f * row[:, stride:out_len + stride])
         return carry
 
     jax.lax.fori_loop(0, _ROWS, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("out_len",))
+@functools.partial(jax.jit, static_argnames=("out_len", "stride"))
 def shift_rows(rows: jnp.ndarray, starts: jnp.ndarray, fracs: jnp.ndarray,
-               out_len: int) -> jnp.ndarray:
-    """``out[r, i] = (1-f_r) * rows[r, k_r + i] + f_r * rows[r, k_r + i + 1]``.
+               out_len: int, stride: int = 1) -> jnp.ndarray:
+    """``out[r, i] = (1-f) * rows[r, k_r + i] + f * rows[r, k_r + i + stride]``.
+
+    ``stride`` is the element distance of the second bilinear tap: 1 for
+    scalar rows, C for channel-INTERLEAVED rows (a shift of one pixel is C
+    elements, which lets all C channels of an image row share one kernel
+    row — 3x fewer per-row loop iterations than channel-planar).
 
     Args:
         rows: ``(R, L)`` float32; caller pre-pads so every read is in range.
-        starts: ``(R,)`` int32 slice starts, each in ``[0, L - out_len - 1]``.
+        starts: ``(R,)`` int32 slice starts, each in
+            ``[0, L - out_len - stride]``.
         fracs: ``(R,)`` float32 fractional blend weights.
         out_len: static output row length.
 
@@ -76,9 +83,9 @@ def shift_rows(rows: jnp.ndarray, starts: jnp.ndarray, fracs: jnp.ndarray,
     # _kernel); rows are right-padded so the furthest aligned window stays
     # in range.
     win = 128
-    while win < out_len + 128:
+    while win < out_len + stride + 127:
         win *= 2
-    lp = max(l, ((l - out_len - 1) // 128) * 128 + win)
+    lp = max(l, ((l - out_len - stride) // 128) * 128 + win)
     if rp != r or lp != l:
         rows = jnp.pad(rows, ((0, rp - r), (0, lp - l)))
         starts = jnp.pad(starts, (0, rp - r))
@@ -92,7 +99,7 @@ def shift_rows(rows: jnp.ndarray, starts: jnp.ndarray, fracs: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, out_len, win),
+        functools.partial(_kernel, out_len, win, stride),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rp, out_len), jnp.float32),
         interpret=_interpret(),

@@ -119,7 +119,9 @@ def _build_eval_body(model: PoseModel, cfg: Config):
 
         # Map predictions and ground truth to ORIGINAL-image pixels.
         hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
-        orig_from_crop = jnp.linalg.inv(pre["crop_from_orig"])
+        from ..data.transforms import invert as _affine_invert
+
+        orig_from_crop = _affine_invert(pre["crop_from_orig"])
         pred_orig = transform_coords(orig_from_crop, hm_crop_px)
         gt_crop_px = normalized_to_crop_px(pre["coords"], in_size)
         gt_orig = transform_coords(orig_from_crop, gt_crop_px)

@@ -370,3 +370,35 @@ def test_loader_propagates_producer_errors():
     loader = ShardedLoader(Broken(), 4, shuffle=False)
     with pytest.raises(FileNotFoundError, match="missing sample"):
         list(loader.epoch(0))
+
+
+def test_affine_invert_matches_linalg(rng):
+    from dsnt_pose2d_tpu.data.transforms import crop_transform, invert
+
+    center = jnp.asarray(rng.uniform(20, 80, size=(4, 2)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.3, 0.8, size=(4,)).astype(np.float32))
+    m = crop_transform(center, scale, 64,
+                       rot_rad=jnp.asarray([0.1, -0.4, 0.0, 0.7]),
+                       scale_aug=jnp.asarray([1.0, 0.8, 1.2, 1.0]),
+                       flip=jnp.asarray([False, True, False, True]))
+    inv = np.asarray(invert(m))
+    np.testing.assert_allclose(inv, np.linalg.inv(np.asarray(m)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.einsum("bij,bjk->bik", inv, np.asarray(m)),
+                               np.broadcast_to(np.eye(3), (4, 3, 3)),
+                               atol=1e-4)
+
+
+def test_shear_warp_extreme_rotation_falls_back(rng):
+    from dsnt_pose2d_tpu.data.augment import preprocess_batch
+    from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
+
+    data = {k: jnp.asarray(v)
+            for k, v in make_synthetic_mpii(2, canvas_size=48, seed=4).items()}
+    cfg = DataConfig(warp_method="shear", max_rotation_deg=85.0)
+    with pytest.warns(UserWarning, match="falling back"):
+        out = preprocess_batch(
+            jax.random.PRNGKey(0), data["canvases"], data["coords_px"],
+            data["mask"], data["head_length"], data["canvas_from_orig"],
+            cfg, 32, True, canvas_margin=data["canvas_margin"])
+    assert np.isfinite(np.asarray(out["images"])).all()
