@@ -168,3 +168,23 @@ def test_row_shift_matches_reference(shape):
                     + fracs[i] * rows[i, starts[i] + 1:starts[i] + out + 1]
                     for i in range(r)])
     np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_row_shift_strided():
+    # stride=C interleaved rows: one-pixel shift = C elements (the shear
+    # warp's layout).
+    from dsnt_pose2d_tpu.ops.pallas.row_shift import shift_rows
+
+    r, lpx, outpx, c = 24, 50, 30, 3
+    rng = np.random.default_rng(9)
+    rows = rng.uniform(size=(r, lpx * c)).astype(np.float32)
+    starts_px = rng.integers(0, lpx - outpx - 1, size=(r,)).astype(np.int32)
+    fracs = rng.uniform(size=(r,)).astype(np.float32)
+    got = np.asarray(shift_rows(jnp.asarray(rows),
+                                jnp.asarray(starts_px * c),
+                                jnp.asarray(fracs), outpx * c, stride=c))
+    exp = np.stack([
+        (1 - fracs[i]) * rows[i, starts_px[i] * c:(starts_px[i] + outpx) * c]
+        + fracs[i] * rows[i, (starts_px[i] + 1) * c:(starts_px[i] + outpx + 1) * c]
+        for i in range(r)])
+    np.testing.assert_allclose(got, exp, atol=1e-6)
