@@ -38,6 +38,9 @@ def main(argv=None):
     add_platform_arg(p)
     p.add_argument("--dashboard-port", type=int, default=0,
                    help="serve a live metrics dashboard on this port")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also mirror scalar metrics to <out-dir>/tb "
+                        "TensorBoard event files")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (CI/debug posture)")
     p.add_argument("--profile-dir", default="",
@@ -57,7 +60,8 @@ def main(argv=None):
     train_loader, val_loader = make_loaders(cfg, train_ds, val_ds)
 
     ckpt = CheckpointManager(out_dir, cfg, max_to_keep=cfg.train.keep_checkpoints)
-    writer = MetricWriter(out_dir, echo=jax.process_index() == 0)
+    writer = MetricWriter(out_dir, echo=jax.process_index() == 0,
+                          tensorboard=args.tensorboard)
     if args.dashboard_port and jax.process_index() == 0:
         from ..train.dashboard import serve
 

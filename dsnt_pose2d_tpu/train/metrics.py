@@ -45,28 +45,61 @@ class TimeMeter:
 
 
 class MetricWriter:
-    """Append-only JSONL event writer + optional console echo."""
+    """Append-only JSONL event writer + optional console echo + TensorBoard.
+
+    With ``tensorboard=True`` scalar events are mirrored to TB event files
+    under ``<out_dir>/tb`` (flax SummaryWriter; the SURVEY section 5 metrics
+    plan's "JSONL + TensorBoard-style writer").  Epoch-level events carry an
+    ``epoch`` key and step-level events a ``step`` key; scalars are tagged
+    ``train/<name>`` and indexed by the global step when present, else by
+    epoch.
+    """
 
     def __init__(self, out_dir: str | None, echo: bool = True,
-                 filename: str = "metrics.jsonl"):
+                 filename: str = "metrics.jsonl", tensorboard: bool = False):
         self.path = None
         self.echo = echo
         self._fh = None
+        self._tb = None
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self.path = os.path.join(out_dir, filename)
             self._fh = open(self.path, "a")
+            if tensorboard:
+                try:
+                    from flax.metrics.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+                except Exception as e:  # pragma: no cover - env without TB
+                    print(f"[metrics] tensorboard unavailable: {e}",
+                          file=sys.stderr)
 
     def write(self, event: dict):
         event = {"time": time.time(), **event}
         if self._fh:
             self._fh.write(json.dumps(event) + "\n")
             self._fh.flush()
+        if self._tb is not None:
+            idx = int(event.get("step", event.get("epoch", 0)))
+            for k, v in event.items():
+                if k in ("time", "step", "epoch"):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.scalar(f"train/{k}", float(v), idx)
+            self._tb.flush()
         if self.echo:
             keys = [f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
                     for k, v in event.items() if k != "time"]
             print("[metrics] " + " ".join(keys), file=sys.stderr)
 
+    def image(self, tag: str, img, step: int = 0):
+        """Log an (H, W, 3) float/uint8 image to TensorBoard (no-op without)."""
+        if self._tb is not None:
+            self._tb.image(tag, img, step)
+            self._tb.flush()
+
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()

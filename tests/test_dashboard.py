@@ -1,6 +1,8 @@
 """Dashboard server tests: routes serve page, metrics stream, and samples."""
 
 import json
+
+import pytest
 import os
 import urllib.request
 
@@ -33,3 +35,19 @@ def test_dashboard_routes(tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_metric_writer_tensorboard(tmp_path):
+    pytest.importorskip("tensorboard")
+    from dsnt_pose2d_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path), echo=False, tensorboard=True)
+    w.write({"epoch": 0, "step": 3, "loss": 1.25, "note": "skip-me"})
+    w.write({"epoch": 1, "train_loss": 0.5})
+    import numpy as np
+
+    w.image("samples/skeleton", np.zeros((8, 8, 3), np.float32), 1)
+    w.close()
+    tb_dir = tmp_path / "tb"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
