@@ -58,6 +58,7 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     import jax
     import jax.numpy as jnp
 
+    from dsnt_pose2d_tpu.cli.common import enable_compilation_cache
     from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
     from dsnt_pose2d_tpu.models.factory import build_pose_model
     from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -66,6 +67,7 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     from dsnt_pose2d_tpu.utils.config import (Config, DataConfig, ModelConfig,
                                               TrainConfig)
 
+    enable_compilation_cache()
     cfg = Config(
         model=ModelConfig(base=base, output_strat="dsnt", reg="js",
                           dtype="bfloat16", use_pallas=use_pallas,

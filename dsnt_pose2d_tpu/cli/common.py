@@ -17,12 +17,36 @@ def add_platform_arg(p: argparse.ArgumentParser):
                         "the JAX_PLATFORMS env var, so use this flag)")
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (hg8 compiles take minutes).
+
+    Client-side, keyed by HLO hash, so repeat runs of the same config —
+    resumes, evaluate-after-train, bench reruns — skip compilation entirely.
+    Opt out with DSNT_NO_COMPILE_CACHE=1 or point DSNT_COMPILE_CACHE_DIR
+    somewhere else.
+    """
+    if os.environ.get("DSNT_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache = os.environ.get(
+        "DSNT_COMPILE_CACHE_DIR",
+        os.path.expanduser("~/.cache/dsnt_pose2d_tpu/xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def apply_platform(args):
     """Call BEFORE any jax device/backend use."""
     if getattr(args, "platform", "default") != "default":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    enable_compilation_cache()
 
 
 def add_model_args(p: argparse.ArgumentParser):
