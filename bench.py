@@ -5,20 +5,38 @@ augmentation + forward + backward + RMSProp update, bf16 backbone, fused
 Pallas DSNT head) — BASELINE config #3, the workload of BASELINE.json's
 ``metric``.  Prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+     "median": N, "min": N, "max": N, "spread_pct": N,
+     "tflops_per_step": N, "implied_mfu": N, "e2e": {...}}
+
+``value`` is the MEDIAN of ``BENCH_REPEATS`` independent two-point
+measurements (round-2 verdict: single-shot numbers on the tunneled transport
+spread by ~25%; medians + reported min/max make the figure reproducible).
+``tflops_per_step``/``implied_mfu`` cross-check the timing against XLA's own
+``compiled.cost_analysis()`` FLOP count — a wall-clock number implying more
+than the chip's peak is a measurement bug, not a speedup.  ``e2e`` measures
+the REAL input path (mmap-packed uint8 canvases -> ShardedLoader threads ->
+H2D -> device step) over full epochs, the number a training run actually
+sees.
 
 ``vs_baseline`` is the speedup over the PyTorch-CPU reference implementation
 (bench_torch_reference.py), measured once and cached in BENCH_BASELINE.json.
+
+Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_REPEATS, BENCH_SKIP_E2E,
+BENCH_E2E_STEPS_PER_DISPATCH, BENCH_PEAK_FLOPS (default 197e12, v5e bf16),
+BENCH_FIXTURE_DIR.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
 def _baseline_ips() -> float:
@@ -42,33 +60,12 @@ def _baseline_ips() -> float:
         return 0.0
 
 
-def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
-                use_pallas: bool = True, remat: bool = False,
-                base: str = "hg8", steps_per_dispatch: int = 1,
-                warp: str = "") -> float:
-    """Two-point, fetch-forced measurement.
-
-    On remote/tunneled PJRT transports ``block_until_ready`` can return
-    before device execution completes, inflating naive timings by orders of
-    magnitude (observed on this image's axon tunnel).  Only a VALUE fetch
-    (``jax.device_get``) is a true execution barrier.  We therefore time two
-    runs of N and 2N chained steps, each ending in a scalar fetch, and report
-    the marginal per-step time — immune to fixed dispatch/fetch overheads.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from dsnt_pose2d_tpu.cli.common import enable_compilation_cache
-    from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
-    from dsnt_pose2d_tpu.models.factory import build_pose_model
-    from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-    from dsnt_pose2d_tpu.train.loop import make_step_fns
-    from dsnt_pose2d_tpu.train.state import create_train_state
+def _flagship_config(batch: int, use_pallas: bool, remat: bool, base: str,
+                     steps_per_dispatch: int, warp: str):
     from dsnt_pose2d_tpu.utils.config import (Config, DataConfig, ModelConfig,
                                               TrainConfig)
 
-    enable_compilation_cache()
-    cfg = Config(
+    return Config(
         model=ModelConfig(base=base, output_strat="dsnt", reg="js",
                           dtype="bfloat16", use_pallas=use_pallas,
                           remat=remat),
@@ -76,27 +73,77 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
                           steps_per_dispatch=steps_per_dispatch),
         data=DataConfig(warp_method=warp) if warp else DataConfig(),
     )
+
+
+def _step_flops(jitted, *args) -> float:
+    """XLA's own FLOP count for one dispatch (0.0 if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
+                repeats: int = 5, use_pallas: bool = True,
+                remat: bool = False, base: str = "hg8",
+                steps_per_dispatch: int = 1, warp: str = "") -> dict:
+    """Repeated two-point, fetch-forced measurement of the device step.
+
+    On remote/tunneled PJRT transports ``block_until_ready`` can return
+    before device execution completes, inflating naive timings by orders of
+    magnitude (observed on this image's axon tunnel).  Only a VALUE fetch
+    (``jax.device_get``) is a true execution barrier.  Each repeat times two
+    runs of N and 2N chained steps, each ending in a scalar fetch, and takes
+    the marginal per-step time — immune to fixed dispatch/fetch overheads.
+    The repeats are summarized as median + min/max (tunnel/host conditions
+    drift between runs; one sample is not a number).
+    """
+    import jax
+
+    from dsnt_pose2d_tpu.cli.common import enable_compilation_cache
+    from dsnt_pose2d_tpu.data.synthetic import make_synthetic_mpii
+    from dsnt_pose2d_tpu.models.factory import build_pose_model
+    from dsnt_pose2d_tpu.parallel.mesh import (make_mesh, replicated,
+                                               shard_batch, shard_super_batch)
+    from dsnt_pose2d_tpu.train.loop import make_step_fns
+    from dsnt_pose2d_tpu.train.state import create_train_state
+
+    enable_compilation_cache()
+    cfg = _flagship_config(batch, use_pallas, remat, base, steps_per_dispatch,
+                           warp)
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)
     k = max(1, steps_per_dispatch)
+    data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
     if k > 1:
         from dsnt_pose2d_tpu.train.loop import make_multi_step
-
-        multi = make_multi_step(model, cfg, mesh)
-        data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
         import numpy as _np
 
-        super_batch = {key: _np.stack([v] * k) for key, v in data.items()}
+        multi = make_multi_step(model, cfg, mesh)
+        # Pre-staged on device, mirroring the k=1 path: H2D belongs to the
+        # e2e benchmark, not the device-step one.
+        super_batch = shard_super_batch(
+            mesh, {key: _np.stack([v] * k) for key, v in data.items()})
         step_fn = lambda st, _b: multi(st, super_batch)
         batch_arrays = None
+        jitted, jit_args = multi, None
     else:
         train_step, _ = make_step_fns(model, cfg, mesh)
-        data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
         batch_arrays = shard_batch(mesh, data)
         step_fn = lambda st, b: train_step(st, b)
+        jitted, jit_args = train_step, None
     state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
                                batch_size=2)
     state = jax.device_put(state, replicated(mesh))
+
+    # FLOP cross-check BEFORE the timed loops (state gets donated below).
+    if k > 1:
+        flops = _step_flops(jitted, state, super_batch) / k
+    else:
+        flops = _step_flops(jitted, state, batch_arrays)
 
     for _ in range(warmup):
         state, metrics = step_fn(state, batch_arrays)
@@ -113,23 +160,151 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
         return time.time() - t0
 
-    t1 = timed(iters)
-    t2 = timed(2 * iters)
-    per_step = (t2 - t1) / iters
-    return batch * k / per_step
+    per_step = []
+    for _ in range(repeats):
+        t1 = timed(iters)
+        t2 = timed(2 * iters)
+        per_step.append((t2 - t1) / iters)
+    ips = sorted(batch * k / t for t in per_step)
+    med_t = statistics.median(per_step)
+    return {
+        "median": round(statistics.median(ips), 2),
+        "min": round(ips[0], 2),
+        "max": round(ips[-1], 2),
+        "spread_pct": round(100.0 * (ips[-1] - ips[0]) / ips[0], 1),
+        "tflops_per_step": round(flops / 1e12, 3),
+        "implied_mfu": round(flops / med_t / PEAK_FLOPS, 4) if flops else 0.0,
+        "repeats": repeats,
+    }
+
+
+def _ensure_e2e_fixture(n: int, canvas: int = 384) -> str:
+    """A packed-format (mmap uint8) fixture of n samples, cached on disk.
+
+    Matches the REAL training input layout (PackedDataset) byte-for-byte in
+    structure; content is random (throughput doesn't care).
+    """
+    import numpy as np
+
+    from dsnt_pose2d_tpu.data.pack import CANVAS_FILE, META_FILE
+
+    root = os.environ.get("BENCH_FIXTURE_DIR", "/tmp/dsnt_bench_fixture")
+    out = os.path.join(root, f"n{n}_c{canvas}")
+    if os.path.exists(os.path.join(out, META_FILE.format(subset="train"))):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    canvases = np.lib.format.open_memmap(
+        os.path.join(out, CANVAS_FILE.format(subset="train")), mode="w+",
+        dtype=np.uint8, shape=(n, canvas, canvas, 3))
+    for i in range(n):  # chunked writes keep peak memory flat
+        canvases[i] = rng.integers(0, 256, size=(canvas, canvas, 3),
+                                   dtype=np.uint8)
+    canvases.flush()
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+    np.savez(os.path.join(out, META_FILE.format(subset="train")),
+             coords_px=rng.uniform(canvas * 0.2, canvas * 0.8,
+                                   (n, 16, 2)).astype(np.float32),
+             mask=np.ones((n, 16), np.float32),
+             head_length=np.full((n,), 45.0, np.float32),
+             canvas_from_orig=eye,
+             canvas_margin=np.full((n,), 1.5, np.float32))
+    return out
+
+
+def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
+                use_pallas: bool = True, base: str = "hg8",
+                steps_per_dispatch: int = 1, workers: int = 4) -> dict:
+    """End-to-end epoch throughput: mmap read -> collate -> H2D -> step.
+
+    This is the number a real training run sees (round-2 verdict: the
+    device-step bench hid a 3-10x input-path gap).  Uses the Trainer's own
+    dispatch machinery (prefetch_to_device for k=1, the prefetched
+    super-batch path for k>1) over a packed-format fixture.
+    """
+    import jax
+    import numpy as np
+
+    from dsnt_pose2d_tpu.cli.common import enable_compilation_cache
+    from dsnt_pose2d_tpu.data.loader import ShardedLoader, prefetch_to_device
+    from dsnt_pose2d_tpu.data.pack import PackedDataset
+    from dsnt_pose2d_tpu.models.factory import build_pose_model
+    from dsnt_pose2d_tpu.parallel.mesh import make_mesh, replicated
+    from dsnt_pose2d_tpu.train.loop import (_prefetch_dispatch_groups,
+                                            make_multi_step, make_step_fns)
+    from dsnt_pose2d_tpu.train.state import create_train_state
+
+    enable_compilation_cache()
+    n = batch * epoch_steps
+    fixture = _ensure_e2e_fixture(n)
+    ds = PackedDataset(fixture, "train")
+    cfg = _flagship_config(batch, use_pallas, False, base, steps_per_dispatch,
+                           "")
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    k = max(1, steps_per_dispatch)
+    train_step, _ = make_step_fns(model, cfg, mesh)
+    multi = make_multi_step(model, cfg, mesh) if k > 1 else None
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
+    loader = ShardedLoader(ds, batch, shuffle=True, seed=0, workers=workers)
+
+    def run_epoch(epoch: int):
+        nonlocal state
+        t0 = time.time()
+        steps = 0
+        last = None
+        if multi is not None:
+            for kind, payload in _prefetch_dispatch_groups(
+                    loader.epoch(epoch), k, mesh):
+                if kind == "single":
+                    state, m = train_step(state, payload)
+                    steps += 1
+                    last = m["loss"]
+                else:
+                    state, ms = multi(state, payload)
+                    steps += k
+                    last = ms["loss"][-1]
+        else:
+            for b in prefetch_to_device(loader.epoch(epoch), mesh):
+                state, m = train_step(state, b)
+                steps += 1
+                last = m["loss"]
+        float(jax.device_get(last))  # true execution barrier
+        return steps * batch / (time.time() - t0)
+
+    run_epoch(0)  # warmup: compile + page-cache the mmap
+    vals = sorted(run_epoch(1 + r) for r in range(repeats))
+    return {
+        "median": round(statistics.median(vals), 2),
+        "min": round(vals[0], 2),
+        "max": round(vals[-1], 2),
+        "workers": workers,
+        "steps_per_dispatch": k,
+        "epoch_steps": epoch_steps,
+    }
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))  # throughput peak on v5e (memory-bound workload)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    ips = measure_tpu(batch=batch, iters=iters)
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    dev = measure_tpu(batch=batch, iters=iters, repeats=repeats)
     base = _baseline_ips()
-    print(json.dumps({
+    result = {
         "metric": "images/sec/chip (hg8+DSNT+JS fwd/bwd train step)",
-        "value": round(ips, 2),
+        "value": dev["median"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / base, 2) if base else 0.0,
-    }))
+        "vs_baseline": round(dev["median"] / base, 2) if base else 0.0,
+        **dev,
+    }
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        k = int(os.environ.get("BENCH_E2E_STEPS_PER_DISPATCH", "1"))
+        e2e = measure_e2e(batch=batch, steps_per_dispatch=k)
+        e2e["vs_device_step_pct"] = round(100.0 * e2e["median"] / dev["median"], 1)
+        result["e2e"] = e2e
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,8 @@ from ..models.factory import build_pose_model
 from ..parallel.mesh import initialize_distributed, make_mesh
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import EvalDriver
-from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
+from .common import (add_data_args, add_platform_arg, apply_platform,
+                     make_datasets, make_loaders, merge_cli_overrides)
 
 
 def main(argv=None):
@@ -32,21 +33,7 @@ def main(argv=None):
     cfg = ckpt.load_config()
     if cfg is None:
         raise SystemExit(f"no config.json in {args.model_dir}")
-    if args.data_dir != p.get_default("data_dir") or args.data_source != "auto":
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(
-                cfg.data, data_dir=args.data_dir, source=args.data_source))
-    if args.batch_size or args.flip_eval:
-        import dataclasses
-
-        train = cfg.train
-        if args.batch_size:
-            train = dataclasses.replace(train, batch_size=args.batch_size)
-        if args.flip_eval:
-            train = dataclasses.replace(train, flip_eval=True)
-        cfg = dataclasses.replace(cfg, train=train)
+    cfg = merge_cli_overrides(cfg, args, p)
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()
@@ -60,6 +47,9 @@ def main(argv=None):
     if state is None:
         raise SystemExit("no checkpoint found")
     result = driver.evaluate(state)
+    annot = getattr(val_ds, "annot", None)
+    result["evaluator"].provenance = (
+        getattr(annot, "split_method", "") if annot is not None else "")
     print(result["evaluator"].table())
     print(f"val loss {result['loss']:.5f}")
     return 0

@@ -11,7 +11,8 @@ from ..models.factory import build_pose_model
 from ..parallel.mesh import initialize_distributed, make_mesh
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import EvalDriver
-from .common import add_data_args, add_platform_arg, apply_platform, make_datasets, make_loaders
+from .common import (add_data_args, add_platform_arg, apply_platform,
+                     make_datasets, make_loaders, merge_cli_overrides)
 
 
 def main(argv=None):
@@ -21,6 +22,10 @@ def main(argv=None):
     p.add_argument("--subset", default="val", choices=["train", "val", "test"])
     p.add_argument("--preds-file", default="preds.h5",
                    help=".h5 or .mat output (layout for eval-mpii-pose)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="override inference batch size")
+    p.add_argument("--flip-eval", action="store_true",
+                   help="average predictions with a horizontally-flipped pass")
     add_data_args(p)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -31,6 +36,7 @@ def main(argv=None):
     cfg = ckpt.load_config()
     if cfg is None:
         raise SystemExit(f"no config.json in {args.model_dir}")
+    cfg = merge_cli_overrides(cfg, args, p)
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()
@@ -53,18 +59,27 @@ def main(argv=None):
     if state is None:
         raise SystemExit("no checkpoint found")
 
-    preds = driver.predict(state)[:len(ds)]
+    preds = driver.predict(state)  # dataset-ordered, covers every row
 
+    # Stamp split provenance (SURVEY C10/C13): a preds file from a
+    # hash-holdout val split must not circulate as Tompson-split-comparable.
+    annot = getattr(ds, "annot", None)
+    split_method = getattr(annot, "split_method", "") if annot is not None else ""
     if args.preds_file.endswith(".mat"):
         from scipy.io import savemat
 
-        savemat(args.preds_file, {"preds": preds})
+        savemat(args.preds_file, {"preds": preds,
+                                  "split_method": split_method or "unknown",
+                                  "subset": args.subset})
     else:
         import h5py
 
         with h5py.File(args.preds_file, "w") as f:
-            f.create_dataset("preds", data=preds)
-    print(f"wrote {preds.shape} predictions to {args.preds_file}")
+            d = f.create_dataset("preds", data=preds)
+            d.attrs["split_method"] = split_method or "unknown"
+            d.attrs["subset"] = args.subset
+    print(f"wrote {preds.shape} predictions to {args.preds_file} "
+          f"(subset={args.subset}, split_method={split_method or 'unknown'})")
     return 0
 
 

@@ -49,6 +49,26 @@ def prefetch_to_device(batch_iter, mesh, depth: int = 2):
         yield queue_.popleft()
 
 
+def prefetch_pairs(batch_iter, mesh, depth: int = 2):
+    """Like :func:`prefetch_to_device` but yields ``(host, device)`` pairs.
+
+    The eval path needs the host-side numpy batch too (sample rendering,
+    index bookkeeping), so it can't use the device-only prefetcher; this
+    keeps the same H2D/compute overlap while retaining the raw batch.
+    """
+    from collections import deque
+
+    from ..parallel.mesh import shard_batch
+
+    queue_: deque = deque()
+    for batch in batch_iter:
+        queue_.append((batch, shard_batch(mesh, batch)))
+        if len(queue_) > depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 class ShardedLoader:
     def __init__(self, dataset, global_batch_size: int, *, shuffle: bool,
                  seed: int = 0, num_hosts: int = 1, host_id: int = 0,
@@ -71,24 +91,66 @@ class ShardedLoader:
 
     @property
     def steps_per_epoch(self) -> int:
-        n = len(self.dataset) // self.num_hosts
         if self.drop_last:
-            return n // self.local_batch_size
-        return -(-n // self.local_batch_size)
+            return (len(self.dataset) // self.num_hosts) // self.local_batch_size
+        per_host = -(-len(self.dataset) // self.num_hosts)
+        return -(-per_host // self.local_batch_size)
 
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
+    def _epoch_indices(self, epoch: int):
+        return self._epoch_indices_for(epoch, self.host_id)
+
+    def _epoch_indices_for(self, epoch: int, host_id: int):
+        """(dataset indices, valid mask) for one host's epoch stream.
+
+        Hosts must enumerate EQUAL-length streams (unequal counts would
+        dispatch different numbers of collective steps and hang a multi-host
+        run).  With ``drop_last`` the permutation is truncated to a common
+        per-host length (training: the few dropped samples rotate with the
+        per-epoch shuffle).  Without it (eval/infer) the stream is instead
+        padded UP by repeating the final index so EVERY sample is seen;
+        pad entries are marked invalid and their ``mask`` is zeroed, keeping
+        metrics exact.
+        """
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch))
             perm = rng.permutation(n)
         else:
             perm = np.arange(n)
-        # Truncate to a common per-host length BEFORE slicing: with
-        # n % num_hosts != 0 a raw strided slice gives hosts unequal sample
-        # counts, so hosts would dispatch different numbers of collective
-        # steps per epoch and a multi-host run would hang on the extras.
-        n_even = (n // self.num_hosts) * self.num_hosts
-        return perm[:n_even][self.host_id::self.num_hosts]
+        if self.drop_last:
+            n_even = (n // self.num_hosts) * self.num_hosts
+            idx = perm[:n_even][host_id::self.num_hosts]
+            return idx, np.ones(len(idx), bool)
+        n_pad = -(-n // self.num_hosts) * self.num_hosts
+        if n_pad > n:
+            perm = np.concatenate([perm, np.repeat(perm[-1:], n_pad - n)])
+        pos = np.arange(host_id, n_pad, self.num_hosts)
+        return perm[pos], pos < n
+
+    def global_index_batches(self, epoch: int = 0) -> list[np.ndarray]:
+        """Dataset indices for each GLOBAL batch; -1 marks pad rows.
+
+        Row layout matches :func:`dsnt_pose2d_tpu.parallel.mesh.shard_batch`'s
+        global assembly — hosts' local rows concatenated in process order
+        (see ``mesh.check_row_order``) — so callers can scatter per-batch
+        global outputs back into dataset order (EvalDriver.predict).
+        """
+        streams = [self._epoch_indices_for(epoch, h)
+                   for h in range(self.num_hosts)]
+        bs = self.local_batch_size
+        out = []
+        for step in range(self.steps_per_epoch):
+            rows = []
+            for idx, valid in streams:
+                chunk = idx[step * bs:(step + 1) * bs]
+                vch = valid[step * bs:(step + 1) * bs]
+                g = np.where(vch, chunk, -1)
+                pad = bs - len(chunk)
+                if pad:
+                    g = np.concatenate([g, np.full(pad, -1, g.dtype)])
+                rows.append(g)
+            out.append(np.concatenate(rows))
+        return out
 
     def epoch(self, epoch: int, start_step: int = 0):
         """Yield host-local collated numpy batches for one epoch.
@@ -97,7 +159,7 @@ class ShardedLoader:
         (static) batch size by repeating samples whose ``mask`` is zeroed, so
         jitted shapes stay constant and metrics stay exact.
         """
-        idx = self._epoch_indices(epoch)
+        idx, valid = self._epoch_indices(epoch)
         bs = self.local_batch_size
         starts = range(start_step * bs, len(idx) - (bs - 1 if self.drop_last else 0), bs)
 
@@ -120,9 +182,11 @@ class ShardedLoader:
                     pad = bs - len(chunk)
                     samples = fetch(chunk)
                     batch = _collate(samples + [samples[-1]] * pad)
-                    if pad and "mask" in batch:
+                    invalid = np.concatenate(
+                        [~valid[s:s + bs], np.ones(pad, bool)])
+                    if invalid.any() and "mask" in batch:
                         batch["mask"] = batch["mask"].copy()
-                        batch["mask"][-pad:] = 0.0
+                        batch["mask"][invalid] = 0.0
                     q.put(batch)
                 q.put(None)
             except BaseException as e:  # propagate to the consumer

@@ -63,6 +63,10 @@ class PCKhEvaluator:
         self.threshold = threshold
         self.correct = np.zeros(num_joints)
         self.total = np.zeros(num_joints)
+        # Split provenance (e.g. 'val-list' vs 'hash-holdout...'): printed
+        # with the table so no PCKh number circulates without its
+        # comparability caveat (SURVEY C10/C13).
+        self.provenance = ""
 
     def add(self, pred_coords, true_coords, joint_mask, head_lengths):
         """All inputs in ORIGINAL-image pixel space; shapes as above."""
@@ -110,6 +114,10 @@ class PCKhEvaluator:
             lines.append(f"  {name:<9s} {100 * v:6.2f}")
         lines.append(f"  {'total':<9s} {100 * self.total_pckh():6.2f}")
         lines.append(f"  {'total16':<9s} {100 * self.total_pckh_all():6.2f}")
+        if self.provenance:
+            note = ("" if self.provenance.startswith("val-list")
+                    else " (NOT comparable to published Tompson-split numbers)")
+            lines.append(f"  split: {self.provenance}{note}")
         return "\n".join(lines)
 
     def reset(self):

@@ -38,9 +38,13 @@ class PoseOutput:
     fc_coords: Optional[jnp.ndarray] = None
 
 
-def activate_heatmaps(raw: jnp.ndarray, preact: str) -> jnp.ndarray:
+def activate_heatmaps(raw: jnp.ndarray, preact: str,
+                      threshold: float = 0.0) -> jnp.ndarray:
     """Apply the configured pre-activation, in fp32."""
-    return ops.HEATMAP_ACTIVATIONS[preact](raw.astype(jnp.float32))
+    raw = raw.astype(jnp.float32)
+    if preact == "thresholded_softmax":
+        return ops.thresholded_softmax(raw, threshold)
+    return ops.HEATMAP_ACTIVATIONS[preact](raw)
 
 
 def _stack_reduce(per_stack_scalars: jnp.ndarray, mode: str) -> jnp.ndarray:
@@ -67,9 +71,10 @@ def pose_loss(output: PoseOutput, target_coords: jnp.ndarray,
 
             coords, reg = fused_dsnt_head(
                 raw.astype(jnp.float32), jnp.broadcast_to(t, (*raw.shape[:3], 2)),
-                sigma_px=cfg.hm_sigma, reg=cfg.reg, preact=cfg.preact)
+                sigma_px=cfg.hm_sigma, reg=cfg.reg, preact=cfg.preact,
+                threshold=cfg.hm_threshold)
         else:
-            act = activate_heatmaps(raw, cfg.preact)
+            act = activate_heatmaps(raw, cfg.preact, cfg.hm_threshold)
             coords = ops.dsnt(act)
             reg = _reg_losses(act, t, cfg)
         euc = _coord_losses(coords, t, cfg)
@@ -114,9 +119,10 @@ def decode_coords(output: PoseOutput, cfg: ModelConfig) -> jnp.ndarray:
             # reg="none" explicitly: decode needs no targets/regularizer.
             coords, _ = fused_dsnt_head(raw.astype(jnp.float32), None,
                                         sigma_px=cfg.hm_sigma, reg="none",
-                                        preact=cfg.preact)
+                                        preact=cfg.preact,
+                                        threshold=cfg.hm_threshold)
             return coords
-        return ops.dsnt(activate_heatmaps(raw, cfg.preact))
+        return ops.dsnt(activate_heatmaps(raw, cfg.preact, cfg.hm_threshold))
     if cfg.output_strat == "gauss":
         return ops.heatmaps_to_coords(output.heatmaps[-1].astype(jnp.float32))
     if cfg.output_strat == "fc":

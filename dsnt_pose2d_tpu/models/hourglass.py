@@ -141,6 +141,9 @@ class HourglassNet(nn.Module):
                                      name=f"score_back{i}")(score)
                 x = x + fc_back + score_back
 
-        # (S, B, H, W, J) -> (S, B, J, H, W), fp32 for the head math.
-        stacked = jnp.stack(scores, axis=0).astype(jnp.float32)
+        # (S, B, H, W, J) -> (S, B, J, H, W); promote so the head math runs
+        # in at least fp32 (bf16 backbones emit fp32 heatmaps) without
+        # truncating higher-precision runs (the fp64 parity suite).
+        out_dtype = jnp.promote_types(self.dtype, jnp.float32)
+        stacked = jnp.stack(scores, axis=0).astype(out_dtype)
         return jnp.transpose(stacked, (0, 1, 4, 2, 3))

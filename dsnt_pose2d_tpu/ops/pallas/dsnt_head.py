@@ -51,9 +51,9 @@ REG_KINDS = ("none", "js", "kl", "mse", "var")
 # Pre-activations the kernel fuses.  The thresholded variant (paper ablation,
 # SURVEY.md section 7 item 2) masks logits below the threshold before the
 # softmax; the masked softmax VJP is the SAME formula (dropped pixels have
-# Z = 0, hence zero gradient), so the backward kernel is shared.
+# Z = 0, hence zero gradient), so the backward kernel is shared.  The
+# threshold value is a static kernel parameter (ModelConfig.hm_threshold).
 PREACT_KINDS = ("softmax", "thresholded_softmax")
-_THRESHOLD = 0.0  # ops.activations.thresholded_softmax default
 
 
 def _interpret() -> bool:
@@ -81,7 +81,7 @@ def _grids_flat(h: int, w: int, hw_pad: int, scale_x: float = 1.0,
     return xg[None, :], yg[None, :]
 
 
-def _exp_rows(h, preact: str):
+def _exp_rows(h, preact: str, threshold: float = 0.0):
     """Stable ``(exp(h - max), rowsum)`` pair, plain or thresholded.
 
     Thresholded (matching :func:`ops.activations.thresholded_softmax`):
@@ -90,7 +90,7 @@ def _exp_rows(h, preact: str):
     (``_PAD_NEG``) is below any threshold and keeps weight 0 either way.
     """
     if preact != "softmax":
-        keep = h >= _THRESHOLD
+        keep = h >= threshold
         any_kept = jnp.any(keep, axis=1, keepdims=True)
         h = jnp.where(jnp.logical_or(keep, jnp.logical_not(any_kept)),
                       h, _PAD_NEG)
@@ -99,8 +99,8 @@ def _exp_rows(h, preact: str):
     return e, jnp.sum(e, axis=1, keepdims=True)
 
 
-def _activate_rows(h, preact: str):
-    e, s = _exp_rows(h, preact)
+def _activate_rows(h, preact: str, threshold: float = 0.0):
+    e, s = _exp_rows(h, preact, threshold)
     return e * (1.0 / s)
 
 
@@ -181,20 +181,23 @@ def _reg_grad_rows(z, g, xg, yg, reg: str, hw: int, sigma_px, h: int, w: int):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
-                w: int, x_ref, t_ref, xg_ref, yg_ref, xgs_ref, ygs_ref,
-                coords_ref, reg_ref):
+def _fwd_kernel(reg: str, preact: str, threshold: float, hw: int,
+                sigma_px: float, h: int, w: int, x_ref, t_ref, xg_ref,
+                yg_ref, xgs_ref, ygs_ref, coords_ref, reg_ref):
     xg = xg_ref[:]                       # (1, HWp) broadcasts over rows
     yg = yg_ref[:]
     if reg == "none":
+        # The reg output is unused by callers in this mode, but VMEM outputs
+        # must still be written (uninitialized reads are garbage on TPU).
+        reg_ref[:] = jnp.zeros_like(reg_ref)
         # Defer normalization to the (tile, 1) scalars — z never materializes.
-        e, s = _exp_rows(x_ref[:], preact)
+        e, s = _exp_rows(x_ref[:], preact, threshold)
         rs = 1.0 / s
         cx = jnp.sum(e * xg, axis=1, keepdims=True) * rs
         cy = jnp.sum(e * yg, axis=1, keepdims=True) * rs
         coords_ref[:] = jnp.concatenate([cx, cy], axis=1)
         return
-    z = _activate_rows(x_ref[:], preact)
+    z = _activate_rows(x_ref[:], preact, threshold)
     cx = jnp.sum(z * xg, axis=1, keepdims=True)
     cy = jnp.sum(z * yg, axis=1, keepdims=True)
     coords_ref[:] = jnp.concatenate([cx, cy], axis=1)
@@ -207,10 +210,10 @@ def _fwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
     reg_ref[:] = _reg_value_rows(z, g, xg, yg, reg, hw, sigma_px, h, w)
 
 
-def _bwd_kernel(reg: str, preact: str, hw: int, sigma_px: float, h: int,
-                w: int, x_ref, t_ref, gc_ref, gr_ref, xg_ref, yg_ref,
-                xgs_ref, ygs_ref, dh_ref):
-    z = _activate_rows(x_ref[:], preact)
+def _bwd_kernel(reg: str, preact: str, threshold: float, hw: int,
+                sigma_px: float, h: int, w: int, x_ref, t_ref, gc_ref,
+                gr_ref, xg_ref, yg_ref, xgs_ref, ygs_ref, dh_ref):
+    z = _activate_rows(x_ref[:], preact, threshold)
     xg = xg_ref[:]
     yg = yg_ref[:]
     gc = gc_ref[:]
@@ -249,10 +252,12 @@ def _bcast_spec(width):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_call(x2, t2, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px, h, w):
+def _fwd_call(x2, t2, xg, yg, xgs, ygs, *, reg, preact, threshold, hw,
+              sigma_px, h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
-    kernel = functools.partial(_fwd_kernel, reg, preact, hw, sigma_px, h, w)
+    kernel = functools.partial(_fwd_kernel, reg, preact, threshold, hw,
+                               sigma_px, h, w)
     out_shape = [jax.ShapeDtypeStruct((n, 2), jnp.float32),
                  jax.ShapeDtypeStruct((n, 1), jnp.float32)]
     out_specs = [_row_spec(_ROW_TILE, 2), _row_spec(_ROW_TILE, 1)]
@@ -273,11 +278,12 @@ def _fwd_call(x2, t2, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px, h, w):
     return coords, regv[:, 0]
 
 
-def _bwd_call(x2, t2, gc, gr, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px,
-              h, w):
+def _bwd_call(x2, t2, gc, gr, xg, yg, xgs, ygs, *, reg, preact, threshold,
+              hw, sigma_px, h, w):
     n, hwp = x2.shape
     grid = (pl.cdiv(n, _ROW_TILE),)
-    kernel = functools.partial(_bwd_kernel, reg, preact, hw, sigma_px, h, w)
+    kernel = functools.partial(_bwd_kernel, reg, preact, threshold, hw,
+                               sigma_px, h, w)
     transc = 2 * n * hwp if reg in ("js", "kl") else n * hwp
     return pl.pallas_call(
         kernel,
@@ -296,7 +302,8 @@ def _bwd_call(x2, t2, gc, gr, xg, yg, xgs, ygs, *, reg, preact, hw, sigma_px,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
+def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str,
+                threshold: float = 0.0):
     hw = h * w
     hw_pad = -(-hw // _LANE) * _LANE
     inv_sx = w / (2.0 * sigma_px)
@@ -317,8 +324,8 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
     def fused(raw2, targets2):
         xg, yg, xgs, ygs = _grids()
         coords, regv = _fwd_call(_prep(raw2), targets2, xg, yg, xgs, ygs,
-                                 reg=reg, preact=preact, hw=hw,
-                                 sigma_px=sigma_px, h=h, w=w)
+                                 reg=reg, preact=preact, threshold=threshold,
+                                 hw=hw, sigma_px=sigma_px, h=h, w=w)
         return coords, regv
 
     def fwd(raw2, targets2):
@@ -332,8 +339,8 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
         dh = _bwd_call(_prep(raw2), targets2,
                        g_coords.astype(jnp.float32),
                        g_reg.astype(jnp.float32)[:, None], xg, yg, xgs, ygs,
-                       reg=reg, preact=preact, hw=hw, sigma_px=sigma_px,
-                       h=h, w=w)
+                       reg=reg, preact=preact, threshold=threshold, hw=hw,
+                       sigma_px=sigma_px, h=h, w=w)
         return dh[:, :hw], None
 
     fused.defvjp(fwd, bwd)
@@ -341,7 +348,8 @@ def _make_fused(h: int, w: int, sigma_px: float, reg: str, preact: str):
 
 
 def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
-                    reg: str = "js", preact: str = "softmax"):
+                    reg: str = "js", preact: str = "softmax",
+                    threshold: float = 0.0):
     """Fused flat-softmax + DSNT + regularizer over ``(..., H, W)`` heatmaps.
 
     Args:
@@ -351,6 +359,8 @@ def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
             Gaussian-based regularizers.
         sigma_px: target Gaussian sigma in pixels (static).
         reg: one of ``none | js | kl | mse | var`` (static).
+        threshold: logit cutoff for ``preact='thresholded_softmax'`` (static;
+            ignored for plain softmax).
 
     Returns:
         ``(coords, reg_losses)`` with ``coords`` shaped ``(..., 2)`` and
@@ -371,8 +381,8 @@ def fused_dsnt_head(raw, target_coords=None, sigma_px: float = 1.0,
         targets2 = jnp.zeros((n, 2), jnp.float32)
     else:
         targets2 = target_coords.reshape(n, 2).astype(jnp.float32)
-    coords, regv = _make_fused(h, w, float(sigma_px), reg,
-                               preact)(raw2, targets2)
+    coords, regv = _make_fused(h, w, float(sigma_px), reg, preact,
+                               float(threshold))(raw2, targets2)
     coords = coords.reshape(*lead, 2)
     if reg == "none":
         return coords, None

@@ -49,6 +49,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def check_row_order(mesh: Mesh) -> None:
+    """Verify the global-batch row-layout invariant used by predict().
+
+    :func:`shard_batch` assembles the global batch with rows laid out in the
+    mesh's device order; code that maps global rows back to per-host dataset
+    indices (``ShardedLoader.global_index_batches``) assumes that order
+    visits devices grouped by process, in ascending process index — true for
+    the standard ``jax.devices()`` ordering.  Raise early on an exotic mesh
+    rather than silently permuting predictions.
+    """
+    procs = [d.process_index for d in mesh.devices.flat]
+    if procs != sorted(procs):
+        raise ValueError(
+            "mesh device order interleaves processes; global-batch rows "
+            "would not be host-contiguous (reorder mesh devices by "
+            "process_index)")
+
+
 def shard_batch(mesh: Mesh, batch: dict):
     """Place a dict of host-global numpy arrays onto the mesh, batch-sharded.
 
@@ -61,6 +79,28 @@ def shard_batch(mesh: Mesh, batch: dict):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch)
+
+
+def super_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a stacked k-step super-batch: axis 0 = step (replicated),
+    axis 1 = global batch (sharded over ``data``)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_super_batch(mesh: Mesh, super_batch: dict):
+    """Place a dict of (k, local_batch, ...) numpy stacks onto the mesh.
+
+    The async ``device_put`` means calling this one dispatch group ahead
+    overlaps the H2D transfer with the current group's compute (the
+    ``steps_per_dispatch`` analogue of :func:`~dsnt_pose2d_tpu.data.loader.
+    prefetch_to_device`).
+    """
+    sharding = super_batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(super_batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        super_batch)
 
 
 _COORDINATOR_ENV_VARS = (

@@ -182,7 +182,19 @@ class CheckpointManager:
         if not os.path.exists(path):
             return None
         with open(path) as f:
-            return config_from_json(f.read())
+            cfg = config_from_json(f.read())
+        from ..utils.config import MODEL_VERSION
+
+        if cfg.model.model_version < MODEL_VERSION:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint in {self.dir} was trained with model graph "
+                f"v{cfg.model.model_version} (current v{MODEL_VERSION}): it "
+                "loads structurally but its numerics predate the hourglass "
+                "stem-padding parity fix — expect degraded accuracy; retrain "
+                "for current-version numerics", stacklevel=2)
+        return cfg
 
     def wait(self):
         self.mgr.wait_until_finished()

@@ -200,6 +200,44 @@ def make_multi_step(model: PoseModel, cfg: Config, mesh,
                    donate_argnums=(0,) if cfg.train.donate else ())
 
 
+def _prefetch_dispatch_groups(batch_iter, k: int, mesh, depth: int = 1):
+    """Group host batches into k-step super-batches, staged on device EARLY.
+
+    Yields ``("multi", device_super_batch)`` for full groups and
+    ``("single", device_batch)`` per ragged-tail batch.  Stacking + the async
+    ``device_put`` happen ``depth`` groups ahead of the consumer, so the
+    (k * batch)-sized H2D transfer overlaps the previous dispatch's compute
+    instead of sitting inside it (round-2 VERDICT: the k>1 path bypassed
+    ``prefetch_to_device`` and paid its transfer synchronously).
+    """
+    import itertools
+
+    from collections import deque
+
+    from ..parallel.mesh import shard_super_batch
+
+    def staged():
+        it = iter(batch_iter)
+        while True:
+            group = list(itertools.islice(it, k))
+            if not group:
+                return
+            if len(group) < k:
+                for b in group:
+                    yield "single", shard_batch(mesh, b)
+                return
+            sb = {key: np.stack([b[key] for b in group]) for key in group[0]}
+            yield "multi", shard_super_batch(mesh, sb)
+
+    queue_: deque = deque()
+    for item in staged():
+        queue_.append(item)
+        if len(queue_) > depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 @dataclass
 class Trainer:
     """Epoch-loop driver: train, periodic eval, checkpointing, metrics."""
@@ -275,25 +313,17 @@ class Trainer:
                                                 step_in_epoch=sie)
 
             if self.multi_step is not None:
-                import itertools
-
-                it = iter(self.train_loader.epoch(epoch, step_in_epoch))
-                while True:
-                    group = list(itertools.islice(it, k_dispatch))
-                    if not group:
-                        break
-                    if len(group) < k_dispatch:
-                        # Ragged tail: finish with single steps.
-                        for batch in group:
-                            state, m = self.train_step(
-                                state, shard_batch(self.mesh, batch))
-                            losses.append(m["loss"])
-                            step_in_epoch += 1
-                            maybe_save_step(state, step_in_epoch)
-                        break
-                    sb = {key: np.stack([b[key] for b in group])
-                          for key in group[0]}
-                    state, ms = self.multi_step(state, sb)
+                groups = _prefetch_dispatch_groups(
+                    self.train_loader.epoch(epoch, step_in_epoch),
+                    k_dispatch, self.mesh)
+                for kind, payload in groups:
+                    if kind == "single":      # ragged tail batch
+                        state, m = self.train_step(state, payload)
+                        losses.append(m["loss"])
+                        step_in_epoch += 1
+                        maybe_save_step(state, step_in_epoch)
+                        continue
+                    state, ms = self.multi_step(state, payload)
                     losses.extend([ms["loss"][i] for i in range(k_dispatch)])
                     step_in_epoch += k_dispatch
                     maybe_save_step(state, step_in_epoch)
@@ -358,17 +388,29 @@ class Trainer:
 
 def run_evaluation(eval_step, state, mesh, loader, num_joints: int,
                    sample_dir: str | None = None, epoch: int = 0) -> dict:
-    """Drive one full pass of ``loader`` through a jitted eval step."""
+    """Drive one full pass of ``loader`` through a jitted eval step.
+
+    Batches are prefetched to device (H2D overlaps the previous step's
+    compute) and metric fetches are deferred until dispatch, so the eval
+    pass pipelines instead of serializing transfer -> compute -> fetch.
+    """
+    from ..data.loader import prefetch_pairs
+
     evaluator = PCKhEvaluator(num_joints)
-    losses = []
+    outs = []
     first = None
-    for batch in loader.epoch(0):
-        out = eval_step(state, shard_batch(mesh, batch))
+    for host_batch, dev_batch in prefetch_pairs(loader.epoch(0), mesh):
+        out = eval_step(state, dev_batch)
+        outs.append(out)  # async: fetch after the full pass is dispatched
+        if first is None:
+            first = (host_batch, out)
+    losses = []
+    for out in outs:
         evaluator.add_counts(jax.device_get(out["pckh_correct"]),
                              jax.device_get(out["pckh_total"]))
         losses.append(float(jax.device_get(out["loss"])))
-        if first is None:
-            first = (batch, np.asarray(jax.device_get(out["pred_orig"])))
+    if first is not None:
+        first = (first[0], np.asarray(jax.device_get(first[1]["pred_orig"])))
     if sample_dir and first is not None and jax.process_index() == 0:
         _dump_samples(sample_dir, epoch, first[0], first[1])
     return {"loss": float(np.mean(losses)) if losses else float("nan"),
@@ -410,9 +452,29 @@ class EvalDriver:
                               sample_dir=sample_dir, epoch=epoch)
 
     def predict(self, state: TrainState) -> np.ndarray:
-        """Original-image-space predictions over the whole loader, in order."""
-        preds = []
-        for batch in self.loader.epoch(0):
-            out = self.eval_step(state, shard_batch(self.mesh, batch))
-            preds.append(np.asarray(jax.device_get(out["pred_orig"])))
-        return np.concatenate(preds)
+        """Original-image-space predictions over the loader, in DATASET order.
+
+        Global batches interleave host shards (host h holds every
+        ``num_hosts``-th sample), so rows are scattered back through the
+        loader's per-batch dataset-index map instead of concatenated; pad
+        rows (index -1) are dropped by index, not by tail truncation.  The
+        result covers every dataset row under any ``num_hosts``.
+        """
+        from ..data.loader import prefetch_pairs
+        from ..parallel.mesh import check_row_order
+
+        check_row_order(self.mesh)
+        n = len(self.loader.dataset)
+        out_arr = np.full((n, self.model.cfg.num_joints, 2), np.nan,
+                          np.float32)
+        gidx = self.loader.global_index_batches(0)
+        outs = []
+        for _, dev_batch in prefetch_pairs(self.loader.epoch(0), self.mesh):
+            outs.append(self.eval_step(state, dev_batch))
+        assert len(outs) == len(gidx)
+        for gi, out in zip(gidx, outs):
+            preds = np.asarray(jax.device_get(out["pred_orig"]))
+            keep = gi >= 0
+            out_arr[gi[keep]] = preds[keep]
+        assert not np.isnan(out_arr).any(), "uncovered dataset rows"
+        return out_arr

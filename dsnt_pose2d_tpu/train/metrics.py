@@ -49,10 +49,12 @@ class MetricWriter:
 
     With ``tensorboard=True`` scalar events are mirrored to TB event files
     under ``<out_dir>/tb`` (flax SummaryWriter; the SURVEY section 5 metrics
-    plan's "JSONL + TensorBoard-style writer").  Epoch-level events carry an
-    ``epoch`` key and step-level events a ``step`` key; scalars are tagged
-    ``train/<name>`` and indexed by the global step when present, else by
-    epoch.
+    plan's "JSONL + TensorBoard-style writer").  Step-level events are tagged
+    ``train/<name>`` and indexed by the global step; epoch-level events
+    (those without a ``step`` key, i.e. the per-epoch summaries) are indexed
+    by epoch, with ``val_*`` metrics tagged under ``val/`` and the rest under
+    ``epoch/`` so step- and epoch-indexed points never share an x-axis.
+    Booleans and other non-numeric values are JSONL-only.
     """
 
     def __init__(self, out_dir: str | None, echo: bool = True,
@@ -80,12 +82,21 @@ class MetricWriter:
             self._fh.write(json.dumps(event) + "\n")
             self._fh.flush()
         if self._tb is not None:
+            step_level = "step" in event
             idx = int(event.get("step", event.get("epoch", 0)))
             for k, v in event.items():
                 if k in ("time", "step", "epoch"):
                     continue
-                if isinstance(v, (int, float)):
-                    self._tb.scalar(f"train/{k}", float(v), idx)
+                # bool is an int subclass: flag fields stay JSONL-only.
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    continue
+                if step_level:
+                    tag = f"train/{k}"
+                elif k.startswith("val_"):
+                    tag = f"val/{k[4:]}"
+                else:
+                    tag = f"epoch/{k}"
+                self._tb.scalar(tag, float(v), idx)
             self._tb.flush()
         if self.echo:
             keys = [f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"

@@ -27,6 +27,14 @@ REGS = ("none", "var", "kl", "js", "mse")
 # MPII has 16 joints (SURVEY.md C10).
 MPII_NUM_JOINTS = 16
 
+# Numeric-compatibility version of the model graph.  Bump whenever a change
+# keeps checkpoints structurally loadable but shifts their numerics.
+#   v1: original round-1/2 graph.
+#   v2: hourglass stem conv padding changed from XLA SAME (2,3) to explicit
+#       symmetric (3,3) (torch/Newell parity fix) — v1 checkpoints load but
+#       see shifted stem features.
+MODEL_VERSION = 2
+
 
 @dataclass(frozen=True)
 class ModelConfig:
@@ -40,6 +48,9 @@ class ModelConfig:
     reg: str = "none"
     reg_coeff: float = 1.0
     hm_sigma: float = 1.0
+    # Logit cutoff for preact='thresholded_softmax' (SURVEY.md section 7
+    # item 2 open pin); flows to both the jnp and the fused Pallas paths.
+    hm_threshold: float = 0.0
     num_joints: int = MPII_NUM_JOINTS
     # Coordinate loss for dsnt/fc heads (paper ablates euclidean/l1/mse).
     coord_loss: str = "euclidean"
@@ -62,6 +73,9 @@ class ModelConfig:
     hg_features: int = 256
     hg_depth: int = 4
     input_size: int = 0  # 0 = default for base (256 hg / 224 resnet)
+    # Numeric-compatibility version stamped into checkpoints (see
+    # MODEL_VERSION above); configs deserialized without the field are v1.
+    model_version: int = MODEL_VERSION
 
     def __post_init__(self):
         if self.base not in BASE_MODELS and not self.base.startswith("hg"):
@@ -134,7 +148,10 @@ class DataConfig:
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
     synthetic_size: int = 256  # samples in the synthetic fixture
-    workers: int = 1  # loader sample-fetch threads (GIL-free native decode)
+    # Loader sample-fetch threads (GIL-free native decode + h5py/mmap reads
+    # release the GIL, so threads scale on host cores; 4 keeps the loader
+    # ahead of the chip on the flagship config — see docs/DESIGN.md section 5).
+    workers: int = 4
     # Optional torchvision ResNet state_dict (.pth/.npz) to initialize the
     # ResNet backbone from (ImageNet-pretrained, reference C7 parity).
     pretrained_resnet: str = ""
@@ -207,4 +224,9 @@ def _from_dict(cls, d: dict):
 
 
 def config_from_json(s: str) -> Config:
-    return _from_dict(Config, json.loads(s))
+    d = json.loads(s)
+    # Configs serialized before the model_version field existed are v1
+    # checkpoints (pre stem-padding fix), not current-version ones.
+    if isinstance(d.get("model"), dict):
+        d["model"].setdefault("model_version", 1)
+    return _from_dict(Config, d)

@@ -22,12 +22,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_num_cpu_devices", 4)
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs, jax.process_count()
-    assert len(jax.devices()) == 2 * nprocs, jax.devices()
-    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == 4 * nprocs, jax.devices()
+    assert len(jax.local_devices()) == 4
 
     import numpy as np
 
@@ -73,14 +73,50 @@ def main():
                     np.asarray(jax.device_get(out["pckh_total"]))]
             break
 
+    # Multi-step dispatch path (steps_per_dispatch=2 lax.scan) across
+    # processes: super-batch assembly via shard_super_batch + scanned
+    # collective steps must agree on every process.
+    from dsnt_pose2d_tpu.train.loop import _prefetch_dispatch_groups, make_multi_step
+
+    multi = make_multi_step(model, cfg, mesh)
+    multi_losses = []
+    for kind, payload in _prefetch_dispatch_groups(loader.epoch(1), 2, mesh):
+        if kind == "multi":
+            state, ms = multi(state, payload)
+            multi_losses.extend(
+                float(x) for x in np.asarray(jax.device_get(ms["loss"])))
+        else:
+            state, m = train_step(state, payload)
+            multi_losses.append(float(jax.device_get(m["loss"])))
+        if len(multi_losses) >= 4:
+            break
+
+    # Dataset-ordered predict() under num_hosts=2 (round-2 VERDICT item 3):
+    # rows must cover EVERY sample (odd n, padded tail) and be identical on
+    # every process.
+    from dsnt_pose2d_tpu.train.loop import EvalDriver
+
+    infer_loader = ShardedLoader(ds, cfg.train.batch_size, shuffle=False,
+                                 num_hosts=nprocs,
+                                 host_id=jax.process_index(),
+                                 drop_last=False)
+    driver = EvalDriver(model=model, cfg=cfg, mesh=mesh, loader=infer_loader)
+    preds = driver.predict(state)
+    assert preds.shape == (33, 16, 2), preds.shape
+    assert np.isfinite(preds).all()
+
     leaf = np.asarray(jax.device_get(
         jax.tree_util.tree_leaves(state.params)[0]))
     print(json.dumps({
         "process": pid,
         "num_steps_per_epoch": loader.steps_per_epoch,
         "losses": losses,
+        "multi_losses": multi_losses,
         "pckh_total": pckh,
         "param_checksum": float(np.sum(np.abs(leaf), dtype=np.float64)),
+        "preds_checksum": float(np.sum(np.abs(preds), dtype=np.float64)),
+        "preds_row0": [float(x) for x in preds[0].ravel()[:4]],
+        "preds_row32": [float(x) for x in preds[32].ravel()[:4]],
     }), flush=True)
     jax.distributed.shutdown()
 

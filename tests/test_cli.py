@@ -72,6 +72,50 @@ def test_experiment_dir_uses_id():
     assert experiment_dir(cfg) == "/tmp/o/x1"
 
 
+def test_merge_cli_overrides_applies_all_data_flags():
+    # evaluate/infer reconstruct cfg from the checkpoint; every parsed data
+    # flag must actually land in the merged config (VERDICT r2 items 2/4).
+    from dsnt_pose2d_tpu.cli.common import add_data_args, merge_cli_overrides
+    from dsnt_pose2d_tpu.utils.config import Config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--flip-eval", action="store_true")
+    add_data_args(p)
+    args = p.parse_args([
+        "--data-dir", "/elsewhere/mpii", "--data-source", "h5",
+        "--canvas-size", "320", "--warp-method", "gather",
+        "--workers", "8", "--batch-size", "4", "--flip-eval"])
+    cfg = merge_cli_overrides(Config(), args, p)
+    assert cfg.data.data_dir == "/elsewhere/mpii"
+    assert cfg.data.source == "h5"
+    assert cfg.data.canvas_size == 320
+    assert cfg.data.warp_method == "gather"
+    assert cfg.data.workers == 8
+    assert cfg.train.batch_size == 4
+    assert cfg.train.flip_eval is True
+
+    # Flags left at their defaults do NOT clobber the checkpoint config.
+    import dataclasses
+
+    base = Config()
+    base = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, warp_method="gather",
+                                       workers=4))
+    args = p.parse_args(["--data-dir", "/x"])
+    merged = merge_cli_overrides(base, args, p)
+    assert merged.data.data_dir == "/x"
+    assert merged.data.warp_method == "gather"
+    assert merged.data.workers == 4
+    assert merged.train.flip_eval is False
+
+
+def test_hm_threshold_flag():
+    cfg = config_from_args(_parse(["--preact", "thresholded_softmax",
+                                   "--hm-threshold", "0.5"]))
+    assert cfg.model.hm_threshold == 0.5
+
+
 def test_config_presets_load():
     import glob
     import json

@@ -42,8 +42,9 @@ def test_metric_writer_tensorboard(tmp_path):
     from dsnt_pose2d_tpu.train.metrics import MetricWriter
 
     w = MetricWriter(str(tmp_path), echo=False, tensorboard=True)
-    w.write({"epoch": 0, "step": 3, "loss": 1.25, "note": "skip-me"})
-    w.write({"epoch": 1, "train_loss": 0.5})
+    w.write({"epoch": 0, "step": 3, "loss": 1.25, "note": "skip-me",
+             "is_best": True})
+    w.write({"epoch": 1, "train_loss": 0.5, "val_pckh": 0.9})
     import numpy as np
 
     w.image("samples/skeleton", np.zeros((8, 8, 3), np.float32), 1)
@@ -51,3 +52,18 @@ def test_metric_writer_tensorboard(tmp_path):
     tb_dir = tmp_path / "tb"
     events = list(tb_dir.glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+    # Step-level scalars go under train/<k> @ step; epoch-level summaries
+    # under epoch/<k> and val/<k> @ epoch; bools and strings are JSONL-only.
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+
+    acc = EventAccumulator(str(tb_dir))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert "train/loss" in tags
+    assert "epoch/train_loss" in tags
+    assert "val/pckh" in tags
+    assert not any("is_best" in t or "note" in t for t in tags)
+    assert acc.Scalars("train/loss")[0].step == 3
+    assert acc.Scalars("val/pckh")[0].step == 1

@@ -295,6 +295,57 @@ class TestLoader:
         c1 = np.concatenate([b["coords_px"] for b in b1])
         assert not np.allclose(c0, c1)
 
+    def test_no_drop_covers_all_samples_uneven_hosts(self):
+        # n=10 over 4 hosts: without drop_last the index stream pads UP
+        # (repeating the final index) instead of truncating, so every
+        # sample is enumerated exactly once as valid; pad rows get mask 0.
+        ds = self._ds(10)
+        loaders = [ShardedLoader(ds, 4, shuffle=False, num_hosts=4, host_id=h,
+                                 drop_last=False) for h in range(4)]
+        assert all(l.steps_per_epoch == 3 for l in loaders)
+        seen = []
+        for l in loaders:
+            idx, valid = l._epoch_indices(0)
+            assert len(idx) == 3 and len(valid) == 3
+            seen.extend(idx[valid])
+        assert sorted(seen) == list(range(10))
+        # Pad rows (invalid) have their mask zeroed in the emitted batches.
+        batches = list(loaders[3].epoch(0))  # host 3 holds pads (pos 11 >= 10)
+        idx3, valid3 = loaders[3]._epoch_indices(0)
+        flat_mask = np.concatenate([b["mask"] for b in batches])
+        for i, v in enumerate(valid3):
+            if not v:
+                assert np.all(flat_mask[i] == 0.0)
+
+    def test_global_index_batches_single_host(self):
+        ds = self._ds(10)
+        loader = ShardedLoader(ds, 4, shuffle=False, drop_last=False)
+        gidx = loader.global_index_batches(0)
+        assert [g.tolist() for g in gidx] == [
+            [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, -1, -1]]
+
+    def test_global_index_batches_matches_host_batches(self):
+        # The global index map must agree with the actual samples each host
+        # emits, under the row layout global = concat(host locals).
+        ds = self._ds(10)
+        loaders = [ShardedLoader(ds, 4, shuffle=False, num_hosts=2, host_id=h,
+                                 drop_last=False) for h in range(2)]
+        gidx = loaders[0].global_index_batches(0)
+        per_host = [list(l.epoch(0)) for l in loaders]
+        assert len(gidx) == len(per_host[0]) == len(per_host[1])
+        for s, gi in enumerate(gidx):
+            rows = np.concatenate([per_host[0][s]["coords_px"],
+                                   per_host[1][s]["coords_px"]])
+            masks = np.concatenate([per_host[0][s]["mask"],
+                                    per_host[1][s]["mask"]])
+            for r, di in enumerate(gi):
+                if di >= 0:
+                    np.testing.assert_allclose(rows[r], ds[int(di)]["coords_px"])
+                else:
+                    assert np.all(masks[r] == 0.0)
+        covered = sorted(int(i) for g in gidx for i in g if i >= 0)
+        assert covered == list(range(10))
+
     def test_synthetic_schema(self):
         d = make_synthetic_mpii(3, canvas_size=24)
         assert d["canvases"].shape == (3, 24, 24, 3)

@@ -59,6 +59,15 @@ def test_two_process_train_step():
     # PCKh totals count the GLOBAL batch (8 samples x visible joints), not a
     # single host's local half.
     assert sum(a["pckh_total"]) > 8
+    # steps_per_dispatch=2 scan path agrees across processes too.
+    assert len(a["multi_losses"]) >= 4
+    np.testing.assert_allclose(a["multi_losses"], b["multi_losses"],
+                               rtol=0, atol=0)
+    # Dataset-ordered predict() is replicated: both processes hold the same
+    # full prediction array (33 rows incl. the padded odd tail).
+    np.testing.assert_allclose(a["preds_checksum"], b["preds_checksum"])
+    np.testing.assert_allclose(a["preds_row0"], b["preds_row0"])
+    np.testing.assert_allclose(a["preds_row32"], b["preds_row32"])
 
 
 def test_initialize_distributed_raises_with_coordinator_env(monkeypatch):

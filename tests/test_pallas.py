@@ -58,6 +58,62 @@ def test_thresholded_all_below_falls_back(data):
     np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("threshold", [-1.0, 0.5, 2.0])
+def test_threshold_knob_matches_oracle(data, threshold):
+    # The hm_threshold knob (ModelConfig.hm_threshold) must flow to BOTH the
+    # fused kernel (static arg) and the jnp path and agree, fwd and grad.
+    raw, t = data
+    coords, regv = fused_dsnt_head(raw, t, sigma_px=1.0, reg="js",
+                                   preact="thresholded_softmax",
+                                   threshold=threshold)
+    z = ops.thresholded_softmax(raw, threshold)
+    coords_o = ops.dsnt(z)
+    regv_o = ops.js_reg_losses(z, t, 1.0)
+    np.testing.assert_allclose(coords, coords_o, atol=2e-6)
+    np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
+
+    def loss_pallas(raw):
+        c, r = fused_dsnt_head(raw, t, sigma_px=1.0, reg="js",
+                               preact="thresholded_softmax",
+                               threshold=threshold)
+        return jnp.sum(ops.euclidean_losses(c, t) + r)
+
+    def loss_oracle(raw):
+        z = ops.thresholded_softmax(raw, threshold)
+        return jnp.sum(ops.euclidean_losses(ops.dsnt(z), t)
+                       + ops.js_reg_losses(z, t, 1.0))
+
+    np.testing.assert_allclose(jax.grad(loss_pallas)(raw),
+                               jax.grad(loss_oracle)(raw),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_threshold_knob_through_model_config():
+    # End-to-end: hm_threshold in ModelConfig changes the loss on both the
+    # pallas and jnp head paths, and the two paths agree.
+    from dsnt_pose2d_tpu.models.heads import PoseOutput, pose_loss
+    from dsnt_pose2d_tpu.utils.config import ModelConfig
+
+    rng = np.random.default_rng(23)
+    raw = jnp.asarray(rng.normal(size=(1, 2, 4, 8, 8)).astype(np.float32) * 3)
+    t = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 4, 2)).astype(np.float32))
+    mask = jnp.ones((2, 4), jnp.float32)
+    out = PoseOutput(heatmaps=raw)
+
+    losses = {}
+    for use_pallas in (True, False):
+        for thr in (0.0, 1.0):
+            cfg = ModelConfig(base="hg1", reg="js",
+                              preact="thresholded_softmax",
+                              hm_threshold=thr, use_pallas=use_pallas)
+            losses[(use_pallas, thr)], _ = pose_loss(out, t, mask, cfg)
+    np.testing.assert_allclose(losses[(True, 0.0)], losses[(False, 0.0)],
+                               rtol=1e-5)
+    np.testing.assert_allclose(losses[(True, 1.0)], losses[(False, 1.0)],
+                               rtol=1e-5)
+    assert abs(float(losses[(True, 0.0)] - losses[(True, 1.0)])) > 1e-6
+
+
 def test_unfused_preact_raises(data):
     raw, t = data
     with pytest.raises(ValueError, match="not fused"):

@@ -91,6 +91,8 @@ def test_eval_psum_counts_match_single_device():
 
 
 def test_dryrun_multichip_entrypoint():
+    # Tiny scale keeps the suite fast; the driver runs the default
+    # "flagship" scale (hg8 + scan + Trainer-level eval) out of process.
     import importlib.util, os
 
     spec = importlib.util.spec_from_file_location(
@@ -98,4 +100,4 @@ def test_dryrun_multichip_entrypoint():
                                "__graft_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(8, scale="tiny")

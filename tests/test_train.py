@@ -142,6 +142,26 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
 
 
+def test_model_version_legacy_configs_flagged(tmp_path):
+    # Configs written before the model_version field deserialize as v1
+    # (pre stem-padding fix) and loading them warns (ADVICE r2).
+    import json
+
+    from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
+    from dsnt_pose2d_tpu.utils.config import MODEL_VERSION
+
+    assert tiny_config().model.model_version == MODEL_VERSION
+    d = json.loads(config_to_json(tiny_config()))
+    del d["model"]["model_version"]
+    legacy = config_from_json(json.dumps(d))
+    assert legacy.model.model_version == 1
+
+    (tmp_path / "config.json").write_text(json.dumps(d))
+    with pytest.warns(UserWarning, match="stem-padding"):
+        cfg = CheckpointManager(str(tmp_path)).load_config()
+    assert cfg.model.model_version == 1
+
+
 def test_mean_meter():
     m = MeanMeter()
     m.add(1.0)
@@ -289,6 +309,28 @@ def test_eval_driver_matches_trainer_eval(setup):
     # The restore template has the Trainer's TrainState structure.
     t1 = jax.tree_util.tree_structure(driver.init_state())
     assert t1 == jax.tree_util.tree_structure(state)
+
+
+def test_predict_dataset_order_uneven_batches(setup):
+    # predict() must return DATASET-ordered rows and cover every sample even
+    # when n doesn't divide the batch (pad rows dropped by index, not tail
+    # truncation): a single full-dataset batch is trivially ordered, so
+    # predictions with bs=4 (3 batches, padded tail) must match it row-wise.
+    from dsnt_pose2d_tpu.train.loop import EvalDriver
+
+    cfg, model, mesh, *_rest = setup
+    state = _rest[-2]
+    ds = ArrayDataset(make_synthetic_mpii(10, canvas_size=48, seed=11))
+    small = EvalDriver(model=model, cfg=cfg, mesh=mesh,
+                       loader=ShardedLoader(ds, 4, shuffle=False,
+                                            drop_last=False))
+    whole = EvalDriver(model=model, cfg=cfg, mesh=mesh,
+                       loader=ShardedLoader(ds, 10, shuffle=False,
+                                            drop_last=False))
+    p_small = small.predict(state)
+    p_whole = whole.predict(state)
+    assert p_small.shape == (10, 16, 2)
+    np.testing.assert_allclose(p_small, p_whole, rtol=1e-4, atol=1e-4)
 
 
 class _Bomb(Exception):

@@ -180,7 +180,13 @@ def run_pack(root: str, canvas_size: int = 384) -> dict:
 
 
 def bench_loader(root: str, batch: int = 32, max_batches: int = 40) -> dict:
-    """Host input-pipeline throughput: packed mmap vs JPEG decode paths."""
+    """Host input-pipeline throughput: packed mmap vs JPEG decode paths.
+
+    Sweeps loader threads (workers in {1, 4, 8}) for every path — the
+    native decoder's value proposition is GIL-free multi-thread scaling, so
+    single-thread numbers alone can't justify (or damn) it (round-2 VERDICT
+    item 8).
+    """
     sys.path.insert(0, REPO)
     from dsnt_pose2d_tpu.data.loader import ShardedLoader
     from dsnt_pose2d_tpu.data.mpii import MPIIDataset
@@ -188,28 +194,29 @@ def bench_loader(root: str, batch: int = 32, max_batches: int = 40) -> dict:
 
     out = {}
 
-    def measure(ds, label):
+    def measure(ds, label, workers):
         loader = ShardedLoader(ds, batch, shuffle=True, seed=0,
-                               drop_last=True)
+                               drop_last=True, workers=workers)
         it = iter(loader.epoch(0))
-        next(it)  # warm (open files, first faults)
+        next(it)  # warm (open files, first faults, spin up the pool)
         t0 = time.time()
         n = 0
         for _, _b in zip(range(max_batches), it):
             n += batch
         dt = time.time() - t0
-        out[label] = round(n / dt, 1) if dt > 0 else float("inf")
+        out[f"{label}_w{workers}"] = round(n / dt, 1) if dt > 0 else float("inf")
 
-    if packed_available(root, "train"):
-        measure(PackedDataset(os.path.join(root, "packed"), "train"),
-                "loader_packed_img_s")
     from dsnt_pose2d_tpu import native as native_mod
 
-    if native_mod.available():
-        measure(MPIIDataset(root, "train", use_native=True),
-                "loader_native_img_s")
-    measure(MPIIDataset(root, "train", use_native=False),
-            "loader_pil_img_s")
+    for workers in (1, 4, 8):
+        if packed_available(root, "train"):
+            measure(PackedDataset(os.path.join(root, "packed"), "train"),
+                    "loader_packed_img_s", workers)
+        if native_mod.available():
+            measure(MPIIDataset(root, "train", use_native=True),
+                    "loader_native_img_s", workers)
+        measure(MPIIDataset(root, "train", use_native=False),
+                "loader_pil_img_s", workers)
     return out
 
 
