@@ -60,10 +60,12 @@ def test_metric_writer_tensorboard(tmp_path):
 
     acc = EventAccumulator(str(tb_dir))
     acc.Reload()
-    tags = set(acc.Tags()["scalars"])
+    # flax's SummaryWriter emits TF v2 summaries; EventAccumulator surfaces
+    # those under "tensors" (the "scalars" bucket only holds v1 events).
+    tags = set(acc.Tags()["tensors"]) | set(acc.Tags()["scalars"])
     assert "train/loss" in tags
     assert "epoch/train_loss" in tags
     assert "val/pckh" in tags
     assert not any("is_best" in t or "note" in t for t in tags)
-    assert acc.Scalars("train/loss")[0].step == 3
-    assert acc.Scalars("val/pckh")[0].step == 1
+    assert acc.Tensors("train/loss")[0].step == 3
+    assert acc.Tensors("val/pckh")[0].step == 1

@@ -32,8 +32,9 @@ CONFIGS = [
 def run_one(label: str, kwargs: dict, iters: int) -> dict:
     code = (
         "import json, bench\n"
-        f"ips = bench.measure_tpu(iters={iters}, **{kwargs!r})\n"
-        f"print(json.dumps({{'label': {label!r}, 'ips': round(ips, 2),"
+        f"r = bench.measure_tpu(iters={iters}, repeats=3, **{kwargs!r})\n"
+        f"print(json.dumps({{'label': {label!r}, 'ips': r['median'],"
+        f" 'min': r['min'], 'max': r['max'], 'mfu': r['implied_mfu'],"
         f" 'cfg': {kwargs!r}}}))\n"
     )
     try:
