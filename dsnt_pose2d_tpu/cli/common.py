@@ -92,6 +92,11 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--pretrained-resnet", default="",
                    help="torchvision ResNet state_dict (.pth/.npz) to "
                         "initialize the ResNet backbone from")
+    g.add_argument("--device-resident", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="stage the packed train split in device HBM and "
+                        "gather batches on device (zero per-step H2D); "
+                        "auto = when it fits the per-device budget")
 
 
 def add_train_args(p: argparse.ArgumentParser):
@@ -127,7 +132,8 @@ def config_from_args(args) -> Config:
         canvas_size=getattr(args, "canvas_size", 0),
         warp_method=getattr(args, "warp_method", "shear"),
         workers=getattr(args, "workers", 1),
-        pretrained_resnet=getattr(args, "pretrained_resnet", ""))
+        pretrained_resnet=getattr(args, "pretrained_resnet", ""),
+        device_resident=getattr(args, "device_resident", "auto"))
     optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,
                         schedule=getattr(args, "schedule", "step"))
     train = TrainConfig(

@@ -169,6 +169,81 @@ def _build_step_bodies(model: PoseModel, cfg: Config, steps_per_epoch: int = 1):
     return train_step, eval_step
 
 
+def _make_resident_gather(mesh):
+    """Shard-local batch gather from HBM-resident arrays (see data.resident).
+
+    Under ``shard_map`` each device sees its own (rows_per_shard, ...) block
+    of every resident array and a (shard_batch,) vector of LOCAL row offsets;
+    the gather stays device-local (no collectives) and its output is exactly
+    a ``batch_sharding``-sharded global batch.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    spec = P(DATA_AXIS)
+
+    def gather(resident, idx):
+        return jax.tree_util.tree_map(lambda a: a[idx], resident)
+
+    return jax.shard_map(gather, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=spec)
+
+
+def make_resident_step(model: PoseModel, cfg: Config, mesh,
+                       steps_per_epoch: int = 1):
+    """Train step over an HBM-resident dataset: (state, resident, idx).
+
+    Identical numerics to the streaming ``train_step`` on the same rows; the
+    only difference is where the batch comes from — an on-device gather
+    instead of an H2D transfer.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    train_step, _ = _build_step_bodies(model, cfg, steps_per_epoch)
+    gather = _make_resident_gather(mesh)
+
+    def step(state: TrainState, resident, idx):
+        return train_step(state, gather(resident, idx))
+
+    repl = replicated(mesh)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, dsh, dsh), out_shardings=repl,
+                   donate_argnums=(0,) if cfg.train.donate else ())
+
+
+def make_resident_multi_step(model: PoseModel, cfg: Config, mesh,
+                             steps_per_epoch: int = 1):
+    """k-step scan over resident data: one dispatch, zero batch H2D.
+
+    With the dataset already in HBM the ``steps_per_dispatch`` scan costs a
+    (k, B) int32 index upload (~hundreds of bytes) per dispatch — the
+    transfer penalty that made streaming super-batches counterproductive on
+    slow transports disappears entirely.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    train_step, _ = _build_step_bodies(model, cfg, steps_per_epoch)
+    gather = _make_resident_gather(mesh)
+
+    def multi(state: TrainState, resident, idx_k):
+        def body(carry, idx):
+            return train_step(carry, gather(resident, idx))
+
+        return jax.lax.scan(body, state, idx_k)
+
+    repl = replicated(mesh)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    ksh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(multi, in_shardings=(repl, dsh, ksh),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if cfg.train.donate else ())
+
+
 def make_multi_step(model: PoseModel, cfg: Config, mesh,
                     steps_per_epoch: int = 1):
     """A k-step train function: ``lax.scan`` over a stacked super-batch.
@@ -252,14 +327,41 @@ class Trainer:
     hooks: tuple = ()
 
     def __post_init__(self):
+        self.resident = self._maybe_resident()
+        spe = max((self.resident or self.train_loader).steps_per_epoch, 1)
         self.train_step, self.eval_step = make_step_fns(
-            self.model, self.cfg, self.mesh,
-            max(self.train_loader.steps_per_epoch, 1))
+            self.model, self.cfg, self.mesh, spe)
         self.multi_step = None
-        if self.cfg.train.steps_per_dispatch > 1:
+        self.resident_step = self.resident_multi = None
+        if self.resident is not None:
+            self.resident_step = make_resident_step(
+                self.model, self.cfg, self.mesh, spe)
+            if self.cfg.train.steps_per_dispatch > 1:
+                self.resident_multi = make_resident_multi_step(
+                    self.model, self.cfg, self.mesh, spe)
+        elif self.cfg.train.steps_per_dispatch > 1:
             self.multi_step = make_multi_step(
-                self.model, self.cfg, self.mesh,
-                max(self.train_loader.steps_per_epoch, 1))
+                self.model, self.cfg, self.mesh, spe)
+
+    def _maybe_resident(self):
+        """Stage the train split in HBM when configured (and it fits)."""
+        mode = getattr(self.cfg.data, "device_resident", "off")
+        if mode == "off":
+            return None
+        from ..data.resident import (ResidentTrainData, resident_arrays,
+                                     resident_fits)
+
+        ds = self.train_loader.dataset
+        if resident_arrays(ds) is None:
+            if mode == "on":
+                raise ValueError(
+                    "device_resident=on but the train dataset is not "
+                    "array-backed; pack it first (data.pack)")
+            return None
+        if mode == "auto" and not resident_fits(ds, self.mesh):
+            return None
+        return ResidentTrainData(ds, self.cfg.train.batch_size, self.mesh,
+                                 seed=self.cfg.train.seed)
 
     def init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
@@ -299,7 +401,7 @@ class Trainer:
         local_bs = self.train_loader.local_batch_size
         k_dispatch = max(cfg.train.steps_per_dispatch, 1)
         every_steps = cfg.train.checkpoint_every_steps
-        spe = self.train_loader.steps_per_epoch
+        spe = (self.resident or self.train_loader).steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             losses = []
@@ -312,7 +414,43 @@ class Trainer:
                     self.checkpointer.save_step(s, epoch=epoch,
                                                 step_in_epoch=sie)
 
-            if self.multi_step is not None:
+            if self.resident is not None:
+                res = self.resident.resident
+                if self.resident_multi is not None:
+                    groups = self.resident.epoch_groups(
+                        epoch, k_dispatch, step_in_epoch)
+                    for kind, idx in groups:
+                        if kind == "single":  # ragged tail
+                            state, m = self.resident_step(state, res, idx)
+                            losses.append(m["loss"])
+                            step_in_epoch += 1
+                            maybe_save_step(state, step_in_epoch)
+                            continue
+                        state, ms = self.resident_multi(state, res, idx)
+                        losses.extend(
+                            [ms["loss"][i] for i in range(k_dispatch)])
+                        step_in_epoch += k_dispatch
+                        maybe_save_step(state, step_in_epoch)
+                        if self.metric_writer:
+                            self.metric_writer.write(
+                                {"epoch": epoch,
+                                 "step": int(jax.device_get(state.step)),
+                                 "loss": float(jax.device_get(ms["loss"][-1]))})
+                else:
+                    for step, idx in enumerate(
+                            self.resident.epoch(epoch, step_in_epoch)):
+                        state, metrics = self.resident_step(state, res, idx)
+                        losses.append(metrics["loss"])
+                        step_in_epoch += 1
+                        maybe_save_step(state, step_in_epoch)
+                        if self.metric_writer and \
+                                step % cfg.train.log_every_steps == 0:
+                            self.metric_writer.write(
+                                {"epoch": epoch,
+                                 "step": int(jax.device_get(state.step)),
+                                 **{k: float(jax.device_get(v))
+                                    for k, v in metrics.items()}})
+            elif self.multi_step is not None:
                 groups = _prefetch_dispatch_groups(
                     self.train_loader.epoch(epoch, step_in_epoch),
                     k_dispatch, self.mesh)

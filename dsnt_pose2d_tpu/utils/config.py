@@ -155,6 +155,17 @@ class DataConfig:
     # Optional torchvision ResNet state_dict (.pth/.npz) to initialize the
     # ResNet backbone from (ImageNet-pretrained, reference C7 parity).
     pretrained_resnet: str = ""
+    # Stage the (array-backed) train split in device HBM, sharded over chips;
+    # each step gathers its batch on device instead of streaming it over
+    # host->device (data/resident.py).  'auto' = on when the per-device share
+    # fits the HBM budget (full MPII@384px is ~11 GB across one v5e chip);
+    # 'off' keeps the reference's global-shuffle streaming semantics.
+    device_resident: str = "auto"  # 'auto' | 'on' | 'off'
+
+    def __post_init__(self):
+        if self.device_resident not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_resident must be auto|on|off, got {self.device_resident!r}")
 
 
 @dataclass(frozen=True)
