@@ -326,7 +326,7 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))  # throughput peak on v5e (memory-bound workload)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "7"))
     dev = measure_tpu(batch=batch, iters=iters, repeats=repeats)
     base = _baseline_ips()
     result = {
