@@ -99,9 +99,17 @@ class MPIIDataset:
     def _use_native(self) -> bool:
         if self._native_pref is not None:
             return self._native_pref
-        from .. import native
+        # PIL is the measured default: on this class of host the C++ decoder
+        # is ~10% slower single-threaded (52.5 vs 45.9 img/s/core at every
+        # workers setting on a 1-core host, docs/DESIGN.md section 5), and
+        # the packed/resident path makes decode a pack-time-only cost anyway.
+        # Opt in explicitly (use_native=True or DSNT_NATIVE_DECODE=1) on
+        # multi-core hosts where GIL-free thread scaling can pay.
+        if os.environ.get("DSNT_NATIVE_DECODE", "") not in ("", "0"):
+            from .. import native
 
-        return native.available()
+            return native.available()
+        return False
 
     def __len__(self):
         return len(self.annot)
