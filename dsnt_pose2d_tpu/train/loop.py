@@ -84,6 +84,50 @@ def make_eval_fn(model: PoseModel, cfg: Config, mesh):
     return jax.jit(eval_step, in_shardings=(repl, bsh), out_shardings=repl)
 
 
+def make_infer_fn(model: PoseModel, cfg: Config, mesh):
+    """Jitted SERVING step: uint8 canvas batch -> original-space coords.
+
+    The inference counterpart of the reference's infer.py forward
+    (SURVEY.md C17) stripped to what serving needs — deterministic eval
+    preprocess, forward, decode, optional flip-averaging, crop->original
+    untransform.  No losses, no PCKh counts, no ground-truth inputs beyond
+    the affine metadata; this is the graph `EvalDriver.predict` dispatches
+    and the one `tools/bench_infer.py` measures.
+    """
+    in_size = model.image_specs.size
+    data_cfg = cfg.data
+
+    def infer_step(state: TrainState, batch):
+        pre = preprocess_batch(
+            jax.random.PRNGKey(0), batch["canvases"], batch["coords_px"],
+            batch["mask"], batch["head_length"], batch["canvas_from_orig"],
+            data_cfg, in_size, False,
+            canvas_margin=batch.get("canvas_margin"))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.module.apply(variables, pre["images"], train=False)
+        coords_norm = model.decode(out)
+        if cfg.train.flip_eval:
+            from ..data.transforms import flip_permutation
+
+            flipped = jnp.flip(pre["images"], axis=2)
+            out_f = model.module.apply(variables, flipped, train=False)
+            coords_f = model.decode(out_f)
+            perm = flip_permutation(coords_f.shape[-2])
+            coords_f = coords_f.at[..., 0].multiply(-1.0)[..., perm, :]
+            coords_norm = 0.5 * (coords_norm + coords_f)
+        hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
+        from ..data.transforms import invert as _affine_invert
+
+        orig_from_crop = _affine_invert(pre["crop_from_orig"])
+        return transform_coords(orig_from_crop, hm_crop_px)
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(infer_step, in_shardings=(repl, bsh), out_shardings=repl)
+
+
 def _build_eval_body(model: PoseModel, cfg: Config):
     """(preprocess_fn, eval_step body) — optimizer-free."""
     in_size = model.image_specs.size
@@ -573,6 +617,7 @@ class EvalDriver:
 
     def __post_init__(self):
         self.eval_step = make_eval_fn(self.model, self.cfg, self.mesh)
+        self._infer_step = None  # built on first predict() (serving graph)
 
     def init_state(self) -> TrainState:
         """Restore template matching the Trainer's TrainState structure."""
@@ -602,16 +647,20 @@ class EvalDriver:
         from ..parallel.mesh import check_row_order
 
         check_row_order(self.mesh)
+        if self._infer_step is None:
+            # Serving graph: forward+decode+untransform only — an hg8
+            # predict run never compiles the loss/PCKh eval graph.
+            self._infer_step = make_infer_fn(self.model, self.cfg, self.mesh)
         n = len(self.loader.dataset)
         out_arr = np.full((n, self.model.cfg.num_joints, 2), np.nan,
                           np.float32)
         gidx = self.loader.global_index_batches(0)
         outs = []
         for _, dev_batch in prefetch_pairs(self.loader.epoch(0), self.mesh):
-            outs.append(self.eval_step(state, dev_batch))
+            outs.append(self._infer_step(state, dev_batch))
         assert len(outs) == len(gidx)
         for gi, out in zip(gidx, outs):
-            preds = np.asarray(jax.device_get(out["pred_orig"]))
+            preds = np.asarray(jax.device_get(out))
             keep = gi >= 0
             out_arr[gi[keep]] = preds[keep]
         assert not np.isnan(out_arr).any(), "uncovered dataset rows"

@@ -311,6 +311,30 @@ def test_eval_driver_matches_trainer_eval(setup):
     assert t1 == jax.tree_util.tree_structure(state)
 
 
+def test_infer_fn_matches_eval_pred_orig(setup):
+    # The lean serving graph (make_infer_fn: no loss/PCKh) must reproduce
+    # the eval graph's original-space predictions exactly, with and without
+    # flip-averaging.
+    import dataclasses
+
+    from dsnt_pose2d_tpu.train.loop import make_eval_fn, make_infer_fn
+
+    cfg, model, mesh, train_step, eval_step, state, batch = setup
+    pred = make_infer_fn(model, cfg, mesh)(state, batch)
+    out = eval_step(state, batch)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(pred)),
+        np.asarray(jax.device_get(out["pred_orig"])), rtol=1e-6, atol=1e-5)
+
+    cfg_f = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, flip_eval=True))
+    pred_f = make_infer_fn(model, cfg_f, mesh)(state, batch)
+    out_f = make_eval_fn(model, cfg_f, mesh)(state, batch)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(pred_f)),
+        np.asarray(jax.device_get(out_f["pred_orig"])), rtol=1e-6, atol=1e-5)
+
+
 def test_predict_dataset_order_uneven_batches(setup):
     # predict() must return DATASET-ordered rows and cover every sample even
     # when n doesn't divide the batch (pad rows dropped by index, not tail
