@@ -59,6 +59,11 @@ def measure(bs):
         out = infer(state, dev)
     float(jax.device_get(out[0, 0, 0]))
 
+    # Small batches run sub-ms per step; scale the iteration count so the
+    # two-point marginal time stays large relative to host/tunnel jitter
+    # (a 20-iter b=1 window once measured a NEGATIVE marginal time).
+    n_it = iters * max(1, 64 // bs)
+
     def timed(n):
         out = None
         t0 = time.time()
@@ -69,8 +74,15 @@ def measure(bs):
 
     per = []
     for _ in range(repeats):
-        t1, t2 = timed(iters), timed(2 * iters)
-        per.append((t2 - t1) / iters)
+        t1, t2 = timed(n_it), timed(2 * n_it)
+        dt = (t2 - t1) / n_it
+        if dt > 0:  # nonpositive = jitter swamped the marginal; re-measure
+            per.append(dt)
+    while len(per) < 3:  # noise floor: top up with fresh repeats
+        t1, t2 = timed(n_it), timed(2 * n_it)
+        dt = (t2 - t1) / n_it
+        if dt > 0:
+            per.append(dt)
     ips = sorted(bs / t for t in per)
     return {"ips": round(statistics.median(ips), 2),
             "min": round(ips[0], 2), "max": round(ips[-1], 2),
