@@ -204,13 +204,15 @@ def test_large_batch_tiling():
     np.testing.assert_allclose(regv, regv_o, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["vec", "legacy"])
 @pytest.mark.parametrize("shape", [(64, 328, 210), (48, 146, 64),
                                    (256, 1288, 836), (16, 512, 300)])
-def test_row_shift_matches_reference(shape):
+def test_row_shift_matches_reference(shape, impl):
     # Shapes chosen to exercise non-power-of-two padded widths and both
     # k_hi = 0 and k_hi = 128 aligned windows: compiled dynamic lane rotates
-    # were wrong at non-power-of-two widths (the wrapper now sizes windows
-    # to powers of two) — keep these pinned on both interpret and TPU runs.
+    # were wrong at non-power-of-two widths (the `legacy` wrapper sizes
+    # windows to powers of two; `vec` uses static rolls, exact at any
+    # width) — keep these pinned on both interpret and TPU runs, both impls.
     from dsnt_pose2d_tpu.ops.pallas.row_shift import shift_rows
 
     r, l, out = shape
@@ -219,7 +221,7 @@ def test_row_shift_matches_reference(shape):
     starts = rng.integers(0, l - out - 1, size=(r,)).astype(np.int32)
     fracs = rng.uniform(size=(r,)).astype(np.float32)
     got = np.asarray(shift_rows(jnp.asarray(rows), jnp.asarray(starts),
-                                jnp.asarray(fracs), out))
+                                jnp.asarray(fracs), out, impl=impl))
     exp = np.stack([(1 - fracs[i]) * rows[i, starts[i]:starts[i] + out]
                     + fracs[i] * rows[i, starts[i] + 1:starts[i] + out + 1]
                     for i in range(r)])
