@@ -140,8 +140,11 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     state = jax.device_put(state, replicated(mesh))
 
     # FLOP cross-check BEFORE the timed loops (state gets donated below).
+    # For k > 1 the dispatch is a lax.scan and XLA's cost_analysis counts
+    # the while-loop BODY ONCE (verified empirically: the k=4 count equals
+    # the k=1 count), so the number is already per-step.
     if k > 1:
-        flops = _step_flops(jitted, state, super_batch) / k
+        flops = _step_flops(jitted, state, super_batch)
     else:
         flops = _step_flops(jitted, state, batch_arrays)
 
@@ -160,12 +163,20 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
         return time.time() - t0
 
+    # A marginal time implying more FLOP/s than the chip's peak is a
+    # measurement artifact (tunnel jitter between the two windows), not a
+    # speedup — drop it and re-measure, up to 2x the repeat budget.
+    floor = flops / PEAK_FLOPS if flops else 0.0
     per_step = []
-    for _ in range(repeats):
+    attempts = 0
+    while len(per_step) < repeats and attempts < 2 * repeats:
+        attempts += 1
         t1 = timed(iters)
         t2 = timed(2 * iters)
-        per_step.append((t2 - t1) / iters)
-    ips = sorted(batch * k / t for t in per_step)
+        dt = (t2 - t1) / (iters * k)  # per STEP (a dispatch runs k steps)
+        if dt > floor:
+            per_step.append(dt)
+    ips = sorted(batch / t for t in per_step)
     med_t = statistics.median(per_step)
     return {
         "median": round(statistics.median(ips), 2),
