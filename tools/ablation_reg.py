@@ -1,0 +1,90 @@
+"""Regularizer ablation: none vs var vs kl vs js vs mse for the DSNT head.
+
+The companion paper's regularizer table (SURVEY.md §6 "Regularizer ordering
+at sigma_t~1"): with a DSNT output head, the distribution regularizers order
+JS >= KL >= variance >= none on PCKh@0.5 (MSE-vs-Gaussian is also swept).
+This reproduces that qualitative ordering on the dress-rehearsal fixture
+with a dilated-ResNet backbone, all other knobs fixed.
+
+Usage (after tools/dress_rehearsal.py --stages fabricate,prepare,pack):
+
+    python tools/ablation_reg.py --data-dir /tmp/dress_rehearsal \
+        --epochs 10 --base-model resnet34 --dilate 1
+
+Writes <data-dir>/ablation_reg.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(argv, timeout=14400):
+    print("  $", " ".join(argv), flush=True)
+    r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
+                       timeout=timeout)
+    if r.returncode != 0:
+        print(r.stdout[-2000:])
+        print(r.stderr[-4000:])
+        raise RuntimeError(f"command failed: {' '.join(argv)}")
+    return r.stdout
+
+
+def main():
+    p = argparse.ArgumentParser(__doc__)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--base-model", default="resnet34")
+    p.add_argument("--dilate", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--hm-sigma", type=float, default=1.0)
+    p.add_argument("--regs", default="none,var,kl,js,mse")
+    p.add_argument("--out-dir", default="")
+    args = p.parse_args()
+    out_root = args.out_dir or os.path.join(args.data_dir, "ablation_reg")
+
+    results = {}
+    for reg in args.regs.split(","):
+        key = f"reg_{reg}"
+        exp = os.path.join(out_root, key)
+        t0 = time.time()
+        run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
+             "--data-dir", args.data_dir, "--data-source", "auto",
+             "--base-model", args.base_model, "--dilate", str(args.dilate),
+             "--output-strat", "dsnt", "--reg", reg,
+             "--reg-coeff", "1.0", "--hm-sigma", str(args.hm_sigma),
+             "--batch-size", str(args.batch_size),
+             "--epochs", str(args.epochs),
+             "--out-dir", out_root, "--experiment-id", key])
+        out = run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.evaluate",
+                   "--model-dir", exp, "--data-dir", args.data_dir])
+        table = out[out.index("PCKh"):] if "PCKh" in out else out
+        m = re.search(r"^\s*total\s+([0-9.]+)", table, re.M)
+        results[reg] = {
+            "pckh_total": float(m.group(1)) if m else None,
+            "train_s": round(time.time() - t0, 1),
+        }
+        print(f"== {key}: PCKh {results[reg]['pckh_total']} ==", flush=True)
+
+    path = os.path.join(args.data_dir, "ablation_reg.json")
+    meta = {"base_model": args.base_model, "dilate": args.dilate,
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "hm_sigma": args.hm_sigma, "results": results}
+    json.dump(meta, open(path, "w"), indent=1)
+    print(f"wrote {path}")
+    print("| reg | PCKh@0.5 total |")
+    print("|---|---|")
+    for reg, r in results.items():
+        print(f"| {reg} | {r['pckh_total']} |")
+
+
+if __name__ == "__main__":
+    main()
