@@ -47,20 +47,34 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--hm-sigma", type=float, default=1.0)
     p.add_argument("--regs", default="none,var,kl,js,mse")
+    p.add_argument("--sigmas", default="",
+                   help="optional extra hm-sigma values swept with --sigma-reg "
+                        "(paper sweeps sigma_t in {0.5,1,2} px); comma list")
+    p.add_argument("--sigma-reg", default="js")
     p.add_argument("--out-dir", default="")
     args = p.parse_args()
     out_root = args.out_dir or os.path.join(args.data_dir, "ablation_reg")
 
+    # (label, reg, sigma) variants: the regularizer sweep at the default
+    # sigma, plus an optional sigma sweep for one regularizer.
+    variants = [(f"reg_{reg}", reg, args.hm_sigma)
+                for reg in args.regs.split(",") if reg]
+    for s in (args.sigmas.split(",") if args.sigmas else []):
+        if abs(float(s) - args.hm_sigma) < 1e-9 and args.sigma_reg in \
+                args.regs.split(","):
+            continue  # already covered by the reg sweep
+        variants.append((f"sigma_{s}_{args.sigma_reg}", args.sigma_reg,
+                         float(s)))
+
     results = {}
-    for reg in args.regs.split(","):
-        key = f"reg_{reg}"
+    for key, reg, sigma in variants:
         exp = os.path.join(out_root, key)
         t0 = time.time()
         run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
              "--data-dir", args.data_dir, "--data-source", "auto",
              "--base-model", args.base_model, "--dilate", str(args.dilate),
              "--output-strat", "dsnt", "--reg", reg,
-             "--reg-coeff", "1.0", "--hm-sigma", str(args.hm_sigma),
+             "--reg-coeff", "1.0", "--hm-sigma", str(sigma),
              "--batch-size", str(args.batch_size),
              "--epochs", str(args.epochs),
              "--out-dir", out_root, "--experiment-id", key])
@@ -68,11 +82,12 @@ def main():
                    "--model-dir", exp, "--data-dir", args.data_dir])
         table = out[out.index("PCKh"):] if "PCKh" in out else out
         m = re.search(r"^\s*total\s+([0-9.]+)", table, re.M)
-        results[reg] = {
+        results[key] = {
+            "reg": reg, "hm_sigma": sigma,
             "pckh_total": float(m.group(1)) if m else None,
             "train_s": round(time.time() - t0, 1),
         }
-        print(f"== {key}: PCKh {results[reg]['pckh_total']} ==", flush=True)
+        print(f"== {key}: PCKh {results[key]['pckh_total']} ==", flush=True)
 
     path = os.path.join(args.data_dir, "ablation_reg.json")
     meta = {"base_model": args.base_model, "dilate": args.dilate,
@@ -80,10 +95,10 @@ def main():
             "hm_sigma": args.hm_sigma, "results": results}
     json.dump(meta, open(path, "w"), indent=1)
     print(f"wrote {path}")
-    print("| reg | PCKh@0.5 total |")
-    print("|---|---|")
-    for reg, r in results.items():
-        print(f"| {reg} | {r['pckh_total']} |")
+    print("| variant | reg | sigma | PCKh@0.5 total |")
+    print("|---|---|---|---|")
+    for key, r in results.items():
+        print(f"| {key} | {r['reg']} | {r['hm_sigma']} | {r['pckh_total']} |")
 
 
 if __name__ == "__main__":
