@@ -167,15 +167,22 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     # measurement artifact (tunnel jitter between the two windows), not a
     # speedup — drop it and re-measure, up to 2x the repeat budget.
     floor = flops / PEAK_FLOPS if flops else 0.0
-    per_step = []
+    per_step, rejected = [], []
     attempts = 0
     while len(per_step) < repeats and attempts < 2 * repeats:
         attempts += 1
         t1 = timed(iters)
         t2 = timed(2 * iters)
         dt = (t2 - t1) / (iters * k)  # per STEP (a dispatch runs k steps)
-        if dt > floor:
-            per_step.append(dt)
+        (per_step if dt > floor else rejected).append(dt)
+    if not per_step:
+        # Every attempt was physically impossible (persistent tunnel jitter
+        # or a broken FLOP floor): report the raw measurements rather than
+        # crash, flagged so the number is never mistaken for a clean run.
+        print(f"# WARNING: all {attempts} repeats rejected by the "
+              f"{floor * 1e3:.2f} ms FLOP floor; reporting unfiltered times",
+              file=sys.stderr)
+        per_step = [max(t, 1e-9) for t in rejected]
     ips = sorted(batch / t for t in per_step)
     med_t = statistics.median(per_step)
     return {
@@ -185,7 +192,7 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         "spread_pct": round(100.0 * (ips[-1] - ips[0]) / ips[0], 1),
         "tflops_per_step": round(flops / 1e12, 3),
         "implied_mfu": round(flops / med_t / PEAK_FLOPS, 4) if flops else 0.0,
-        "repeats": repeats,
+        "repeats": len(per_step),
     }
 
 

@@ -33,7 +33,7 @@ def main(argv=None):
     cfg = ckpt.load_config()
     if cfg is None:
         raise SystemExit(f"no config.json in {args.model_dir}")
-    cfg = merge_cli_overrides(cfg, args, p)
+    cfg = merge_cli_overrides(cfg, args, p, argv)
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()
@@ -47,9 +47,9 @@ def main(argv=None):
     if state is None:
         raise SystemExit("no checkpoint found")
     result = driver.evaluate(state)
-    annot = getattr(val_ds, "annot", None)
-    result["evaluator"].provenance = (
-        getattr(annot, "split_method", "") if annot is not None else "")
+    from .common import dataset_split_method
+
+    result["evaluator"].provenance = dataset_split_method(val_ds)
     print(result["evaluator"].table())
     print(f"val loss {result['loss']:.5f}")
     return 0

@@ -36,7 +36,7 @@ def main(argv=None):
     cfg = ckpt.load_config()
     if cfg is None:
         raise SystemExit(f"no config.json in {args.model_dir}")
-    cfg = merge_cli_overrides(cfg, args, p)
+    cfg = merge_cli_overrides(cfg, args, p, argv)
 
     model = build_pose_model(cfg.model)
     mesh = make_mesh()
@@ -63,8 +63,9 @@ def main(argv=None):
 
     # Stamp split provenance (SURVEY C10/C13): a preds file from a
     # hash-holdout val split must not circulate as Tompson-split-comparable.
-    annot = getattr(ds, "annot", None)
-    split_method = getattr(annot, "split_method", "") if annot is not None else ""
+    from .common import dataset_split_method
+
+    split_method = dataset_split_method(ds)
     if args.preds_file.endswith(".mat"):
         from scipy.io import savemat
 

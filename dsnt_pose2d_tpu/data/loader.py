@@ -36,17 +36,8 @@ def prefetch_to_device(batch_iter, mesh, depth: int = 2):
     H2D transfer with the current step's compute — the TPU equivalent of the
     reference's pinned-memory prefetch, without worker processes.
     """
-    from collections import deque
-
-    from ..parallel.mesh import shard_batch
-
-    queue_: deque = deque()
-    for batch in batch_iter:
-        queue_.append(shard_batch(mesh, batch))
-        if len(queue_) > depth:
-            yield queue_.popleft()
-    while queue_:
-        yield queue_.popleft()
+    for _, device_batch in prefetch_pairs(batch_iter, mesh, depth):
+        yield device_batch
 
 
 def prefetch_pairs(batch_iter, mesh, depth: int = 2):

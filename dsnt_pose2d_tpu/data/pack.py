@@ -64,9 +64,14 @@ def pack_split(data_dir: str, subset: str, canvas_size: int = 384,
             fill(i)
 
     canvases.flush()
+    # Split provenance rides along so evaluate/infer on the packed path can
+    # stamp PCKh tables / preds files (a hash-holdout split must not
+    # circulate as Tompson-split-comparable).
+    split_method = getattr(getattr(ds, "annot", None), "split_method", "")
     np.savez(os.path.join(out_dir, META_FILE.format(subset=subset)),
              coords_px=coords, mask=mask, head_length=head,
-             canvas_from_orig=affines, canvas_margin=margins)
+             canvas_from_orig=affines, canvas_margin=margins,
+             split_method=np.array(split_method or ""))
     return out_dir
 
 
@@ -79,6 +84,8 @@ class PackedDataset:
             mmap_mode="r")
         meta = np.load(os.path.join(packed_dir, META_FILE.format(subset=subset)))
         self.meta = {k: meta[k] for k in meta.files}
+        # "" for archives packed before provenance was recorded.
+        self.split_method = str(self.meta.pop("split_method", ""))
 
     def __len__(self):
         return len(self.canvases)

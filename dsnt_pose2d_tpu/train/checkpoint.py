@@ -185,7 +185,17 @@ class CheckpointManager:
             cfg = config_from_json(f.read())
         from ..utils.config import MODEL_VERSION
 
-        if cfg.model.model_version < MODEL_VERSION:
+        if cfg.model.model_version == 0:
+            # Field-less config: written before model_version existed, which
+            # does NOT pin it either side of the stem-padding fix.
+            import warnings
+
+            warnings.warn(
+                f"checkpoint in {self.dir} predates the model_version "
+                f"field; if it was trained before the hourglass "
+                "stem-padding parity fix its numerics differ from the "
+                f"current graph (v{MODEL_VERSION})", stacklevel=2)
+        elif cfg.model.model_version < MODEL_VERSION:
             import warnings
 
             warnings.warn(

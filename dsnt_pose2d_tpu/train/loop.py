@@ -652,16 +652,26 @@ class EvalDriver:
             # predict run never compiles the loss/PCKh eval graph.
             self._infer_step = make_infer_fn(self.model, self.cfg, self.mesh)
         n = len(self.loader.dataset)
-        out_arr = np.full((n, self.model.cfg.num_joints, 2), np.nan,
-                          np.float32)
+        out_arr = np.zeros((n, self.model.cfg.num_joints, 2), np.float32)
+        # Coverage is tracked with an explicit boolean, NOT a NaN sentinel:
+        # a diverged model legitimately emits NaN coords, which must be
+        # written out, not mistaken for an uncovered row.
+        covered = np.zeros((n,), bool)
         gidx = self.loader.global_index_batches(0)
         outs = []
         for _, dev_batch in prefetch_pairs(self.loader.epoch(0), self.mesh):
             outs.append(self._infer_step(state, dev_batch))
-        assert len(outs) == len(gidx)
+        if len(outs) != len(gidx):
+            raise RuntimeError(
+                f"loader produced {len(outs)} batches, index map has "
+                f"{len(gidx)}")
         for gi, out in zip(gidx, outs):
             preds = np.asarray(jax.device_get(out))
             keep = gi >= 0
             out_arr[gi[keep]] = preds[keep]
-        assert not np.isnan(out_arr).any(), "uncovered dataset rows"
+            covered[gi[keep]] = True
+        if not covered.all():
+            raise RuntimeError(
+                f"predict() left {int((~covered).sum())} of {n} dataset "
+                "rows uncovered (loader/index-map mismatch)")
         return out_arr

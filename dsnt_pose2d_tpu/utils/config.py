@@ -236,8 +236,10 @@ def _from_dict(cls, d: dict):
 
 def config_from_json(s: str) -> Config:
     d = json.loads(s)
-    # Configs serialized before the model_version field existed are v1
-    # checkpoints (pre stem-padding fix), not current-version ones.
+    # Configs serialized before the model_version field existed are of
+    # UNKNOWN vintage (0): the stem-padding fix landed before the field did,
+    # so a field-less config may be either side of it — loaders warn
+    # tentatively for 0 and definitively for an explicit old version.
     if isinstance(d.get("model"), dict):
-        d["model"].setdefault("model_version", 1)
+        d["model"].setdefault("model_version", 0)
     return _from_dict(Config, d)

@@ -82,11 +82,12 @@ def test_merge_cli_overrides_applies_all_data_flags():
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--flip-eval", action="store_true")
     add_data_args(p)
-    args = p.parse_args([
+    argv = [
         "--data-dir", "/elsewhere/mpii", "--data-source", "h5",
         "--canvas-size", "320", "--warp-method", "gather",
-        "--workers", "8", "--batch-size", "4", "--flip-eval"])
-    cfg = merge_cli_overrides(Config(), args, p)
+        "--workers", "8", "--batch-size", "4", "--flip-eval"]
+    args = p.parse_args(argv)
+    cfg = merge_cli_overrides(Config(), args, p, argv)
     assert cfg.data.data_dir == "/elsewhere/mpii"
     assert cfg.data.source == "h5"
     assert cfg.data.canvas_size == 320
@@ -102,12 +103,47 @@ def test_merge_cli_overrides_applies_all_data_flags():
     base = dataclasses.replace(
         base, data=dataclasses.replace(base.data, warp_method="gather",
                                        workers=4))
-    args = p.parse_args(["--data-dir", "/x"])
-    merged = merge_cli_overrides(base, args, p)
+    argv = ["--data-dir", "/x"]
+    args = p.parse_args(argv)
+    merged = merge_cli_overrides(base, args, p, argv)
     assert merged.data.data_dir == "/x"
     assert merged.data.warp_method == "gather"
     assert merged.data.workers == 4
     assert merged.train.flip_eval is False
+
+
+def test_merge_cli_overrides_explicit_default_and_source_reset():
+    # A flag explicitly typed AT its argparse default must still override a
+    # checkpoint config that differs; and --data-dir without an explicit
+    # --data-source re-detects the layout (source -> auto) instead of
+    # inheriting the training-time source.
+    import dataclasses
+
+    from dsnt_pose2d_tpu.cli.common import add_data_args, merge_cli_overrides
+    from dsnt_pose2d_tpu.utils.config import Config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--flip-eval", action="store_true")
+    add_data_args(p)
+
+    base = Config()
+    base = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, source="h5", workers=4))
+
+    # --workers 1 IS the argparse default; it must still override workers=4.
+    argv = ["--data-dir", "/other", "--workers", "1"]
+    args = p.parse_args(argv)
+    merged = merge_cli_overrides(base, args, p, argv)
+    assert merged.data.workers == 1
+    assert merged.data.data_dir == "/other"
+    assert merged.data.source == "auto"  # reset: re-detect at the new dir
+
+    # ... unless --data-source is itself explicit.
+    argv = ["--data-dir", "/other", "--data-source", "h5"]
+    args = p.parse_args(argv)
+    merged = merge_cli_overrides(base, args, p, argv)
+    assert merged.data.source == "h5"
 
 
 def test_hm_threshold_flag():

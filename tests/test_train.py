@@ -143,8 +143,10 @@ def test_config_json_roundtrip():
 
 
 def test_model_version_legacy_configs_flagged(tmp_path):
-    # Configs written before the model_version field deserialize as v1
-    # (pre stem-padding fix) and loading them warns (ADVICE r2).
+    # Configs written before the model_version field deserialize as v0 =
+    # UNKNOWN vintage (the stem-padding fix landed before the field did, so
+    # field-less does not pin the numerics) and loading warns tentatively;
+    # an EXPLICIT old version warns definitively (ADVICE r2).
     import json
 
     from dsnt_pose2d_tpu.train.checkpoint import CheckpointManager
@@ -154,10 +156,16 @@ def test_model_version_legacy_configs_flagged(tmp_path):
     d = json.loads(config_to_json(tiny_config()))
     del d["model"]["model_version"]
     legacy = config_from_json(json.dumps(d))
-    assert legacy.model.model_version == 1
+    assert legacy.model.model_version == 0
 
     (tmp_path / "config.json").write_text(json.dumps(d))
-    with pytest.warns(UserWarning, match="stem-padding"):
+    with pytest.warns(UserWarning, match="predates the model_version field"):
+        cfg = CheckpointManager(str(tmp_path)).load_config()
+    assert cfg.model.model_version == 0
+
+    d["model"]["model_version"] = 1
+    (tmp_path / "config.json").write_text(json.dumps(d))
+    with pytest.warns(UserWarning, match="expect degraded accuracy"):
         cfg = CheckpointManager(str(tmp_path)).load_config()
     assert cfg.model.model_version == 1
 

@@ -19,30 +19,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
-import subprocess
-import sys
-import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-HEADS = {
-    # reg only applies to the dsnt head (paper setup: JS at sigma_t=1).
-    "dsnt": ["--output-strat", "dsnt", "--reg", "js", "--reg-coeff", "1.0"],
-    "gauss": ["--output-strat", "gauss"],
-    "fc": ["--output-strat", "fc"],
-}
-
-
-def run(argv, timeout=14400):
-    print("  $", " ".join(argv), flush=True)
-    r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
-                       timeout=timeout)
-    if r.returncode != 0:
-        print(r.stdout[-2000:])
-        print(r.stderr[-4000:])
-        raise RuntimeError(f"command failed: {' '.join(argv)}")
-    return r.stdout
+from _ablation_common import HEAD_FLAGS, train_and_eval
 
 
 def main():
@@ -58,24 +36,11 @@ def main():
 
     results = {}
     for head in args.heads.split(","):
-        exp = os.path.join(out_root, head)
-        t0 = time.time()
-        run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
-             "--data-dir", args.data_dir, "--data-source", "auto",
-             "--base-model", args.base_model,
-             *HEADS[head],
+        results[head] = train_and_eval(
+            args.data_dir, out_root, head,
+            ["--base-model", args.base_model, *HEAD_FLAGS[head],
              "--batch-size", str(args.batch_size),
-             "--epochs", str(args.epochs),
-             "--out-dir", out_root, "--experiment-id", head])
-        out = run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.evaluate",
-                   "--model-dir", exp, "--data-dir", args.data_dir])
-        table = out[out.index("PCKh"):] if "PCKh" in out else out
-        m = re.search(r"^\s*total\s+([0-9.]+)", table, re.M)
-        results[head] = {
-            "pckh_total": float(m.group(1)) if m else None,
-            "train_s": round(time.time() - t0, 1),
-            "table": table.strip().splitlines(),
-        }
+             "--epochs", str(args.epochs)])
         print(f"== {head}: PCKh {results[head]['pckh_total']} ==", flush=True)
 
     path = os.path.join(args.data_dir, "ablation_heads.json")

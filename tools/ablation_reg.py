@@ -4,12 +4,14 @@ The companion paper's regularizer table (SURVEY.md §6 "Regularizer ordering
 at sigma_t~1"): with a DSNT output head, the distribution regularizers order
 JS >= KL >= variance >= none on PCKh@0.5 (MSE-vs-Gaussian is also swept).
 This reproduces that qualitative ordering on the dress-rehearsal fixture
-with a dilated-ResNet backbone, all other knobs fixed.
+with a dilated-ResNet backbone, all other knobs fixed.  ``--sigmas`` adds a
+target-Gaussian sigma sweep for one regularizer (the paper sweeps
+sigma_t in {0.5, 1, 2} px).
 
 Usage (after tools/dress_rehearsal.py --stages fabricate,prepare,pack):
 
     python tools/ablation_reg.py --data-dir /tmp/dress_rehearsal \
-        --epochs 10 --base-model resnet34 --dilate 1
+        --epochs 10 --base-model resnet34 --dilate 1 --sigmas 0.5,2.0
 
 Writes <data-dir>/ablation_reg.json and prints a markdown table.
 """
@@ -19,23 +21,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
-import subprocess
-import sys
-import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def run(argv, timeout=14400):
-    print("  $", " ".join(argv), flush=True)
-    r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
-                       timeout=timeout)
-    if r.returncode != 0:
-        print(r.stdout[-2000:])
-        print(r.stderr[-4000:])
-        raise RuntimeError(f"command failed: {' '.join(argv)}")
-    return r.stdout
+from _ablation_common import train_and_eval
 
 
 def main():
@@ -68,25 +55,15 @@ def main():
 
     results = {}
     for key, reg, sigma in variants:
-        exp = os.path.join(out_root, key)
-        t0 = time.time()
-        run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
-             "--data-dir", args.data_dir, "--data-source", "auto",
-             "--base-model", args.base_model, "--dilate", str(args.dilate),
+        r = train_and_eval(
+            args.data_dir, out_root, key,
+            ["--base-model", args.base_model, "--dilate", str(args.dilate),
              "--output-strat", "dsnt", "--reg", reg,
              "--reg-coeff", "1.0", "--hm-sigma", str(sigma),
              "--batch-size", str(args.batch_size),
-             "--epochs", str(args.epochs),
-             "--out-dir", out_root, "--experiment-id", key])
-        out = run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.evaluate",
-                   "--model-dir", exp, "--data-dir", args.data_dir])
-        table = out[out.index("PCKh"):] if "PCKh" in out else out
-        m = re.search(r"^\s*total\s+([0-9.]+)", table, re.M)
-        results[key] = {
-            "reg": reg, "hm_sigma": sigma,
-            "pckh_total": float(m.group(1)) if m else None,
-            "train_s": round(time.time() - t0, 1),
-        }
+             "--epochs", str(args.epochs)])
+        r.pop("table", None)
+        results[key] = {"reg": reg, "hm_sigma": sigma, **r}
         print(f"== {key}: PCKh {results[key]['pckh_total']} ==", flush=True)
 
     path = os.path.join(args.data_dir, "ablation_reg.json")

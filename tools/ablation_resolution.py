@@ -25,28 +25,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
-import subprocess
-import sys
-import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-HEADS = {
-    "dsnt": ["--output-strat", "dsnt", "--reg", "js", "--reg-coeff", "1.0"],
-    "gauss": ["--output-strat", "gauss"],
-}
-
-
-def run(argv, timeout=14400):
-    print("  $", " ".join(argv), flush=True)
-    r = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
-                       timeout=timeout)
-    if r.returncode != 0:
-        print(r.stdout[-2000:])
-        print(r.stderr[-4000:])
-        raise RuntimeError(f"command failed: {' '.join(argv)}")
-    return r.stdout
+from _ablation_common import HEAD_FLAGS, train_and_eval
 
 
 def main():
@@ -66,25 +46,14 @@ def main():
     for dilate in [int(d) for d in args.dilates.split(",")]:
         for head in args.heads.split(","):
             key = f"dilate{dilate}_{head}"
-            exp = os.path.join(out_root, key)
-            t0 = time.time()
-            run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
-                 "--data-dir", args.data_dir, "--data-source", "auto",
-                 "--base-model", args.base_model,
-                 "--dilate", str(dilate),
-                 *HEADS[head],
+            r = train_and_eval(
+                args.data_dir, out_root, key,
+                ["--base-model", args.base_model, "--dilate", str(dilate),
+                 *HEAD_FLAGS[head],
                  "--batch-size", str(args.batch_size),
-                 "--epochs", str(args.epochs),
-                 "--out-dir", out_root, "--experiment-id", key])
-            out = run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.evaluate",
-                       "--model-dir", exp, "--data-dir", args.data_dir])
-            table = out[out.index("PCKh"):] if "PCKh" in out else out
-            m = re.search(r"^\s*total\s+([0-9.]+)", table, re.M)
-            results[key] = {
-                "dilate": dilate, "head": head,
-                "pckh_total": float(m.group(1)) if m else None,
-                "train_s": round(time.time() - t0, 1),
-            }
+                 "--epochs", str(args.epochs)])
+            r.pop("table", None)
+            results[key] = {"dilate": dilate, "head": head, **r}
             print(f"== {key}: PCKh {results[key]['pckh_total']} ==",
                   flush=True)
 

@@ -72,17 +72,20 @@ def measure(bs):
         float(jax.device_get(out[0, 0, 0]))
         return time.time() - t0
 
-    per = []
-    for _ in range(repeats):
+    # Top up toward 3+ clean repeats, but bound the attempts: persistently
+    # nonpositive marginals (jitter >> marginal time) must not spin forever
+    # into the parent's subprocess timeout.
+    per, attempts = [], 0
+    while (len(per) < max(repeats, 3)) and attempts < 3 * max(repeats, 3):
+        attempts += 1
         t1, t2 = timed(n_it), timed(2 * n_it)
         dt = (t2 - t1) / n_it
         if dt > 0:  # nonpositive = jitter swamped the marginal; re-measure
             per.append(dt)
-    while len(per) < 3:  # noise floor: top up with fresh repeats
-        t1, t2 = timed(n_it), timed(2 * n_it)
-        dt = (t2 - t1) / n_it
-        if dt > 0:
-            per.append(dt)
+    if not per:
+        print(json.dumps({"base": base, "batch": batch,
+                          "error": "all marginal times nonpositive"}))
+        sys.exit(0)
     ips = sorted(bs / t for t in per)
     return {"ips": round(statistics.median(ips), 2),
             "min": round(ips[0], 2), "max": round(ips[-1], 2),
