@@ -42,9 +42,13 @@ def train_and_eval(data_dir: str, out_root: str, experiment_id: str,
     Returns ``{"pckh_total": float|None, "train_s": float, "table": [str]}``.
     """
     t0 = time.time()
+    # Resume if this grid cell already has checkpoints (interrupted sweep):
+    # a fully-trained cell restores past its last epoch and is a no-op.
+    resume = (["--resume"] if os.path.isdir(
+        os.path.join(out_root, experiment_id, "ckpt")) else [])
     run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.train",
          "--data-dir", data_dir, "--data-source", "auto",
-         *train_flags,
+         *train_flags, *resume,
          "--out-dir", out_root, "--experiment-id", experiment_id])
     out = run([sys.executable, "-m", "dsnt_pose2d_tpu.cli.evaluate",
                "--model-dir", os.path.join(out_root, experiment_id),

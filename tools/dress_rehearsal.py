@@ -320,6 +320,14 @@ def main():
         ])
         report["preds_h5"] = os.path.exists(preds)
         report["preds_mat"] = os.path.exists(preds.replace(".h5", ".mat"))
+        if report["preds_h5"]:
+            # Split provenance must ride the preds file (VERDICT r2 weak #6;
+            # the rehearsal's --val-list split stamps "val-list:...").
+            import h5py
+
+            with h5py.File(preds) as f:
+                report["preds_split_method"] = str(
+                    f["preds"].attrs.get("split_method", ""))
         save()
     print("dress rehearsal complete")
 
