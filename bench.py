@@ -129,12 +129,12 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
             mesh, {key: _np.stack([v] * k) for key, v in data.items()})
         step_fn = lambda st, _b: multi(st, super_batch)
         batch_arrays = None
-        jitted, jit_args = multi, None
+        jitted = multi
     else:
         train_step, _ = make_step_fns(model, cfg, mesh)
         batch_arrays = shard_batch(mesh, data)
         step_fn = lambda st, b: train_step(st, b)
-        jitted, jit_args = train_step, None
+        jitted = train_step
     state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
                                batch_size=2)
     state = jax.device_put(state, replicated(mesh))
@@ -175,17 +175,27 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         t2 = timed(2 * iters)
         dt = (t2 - t1) / (iters * k)  # per STEP (a dispatch runs k steps)
         (per_step if dt > floor else rejected).append(dt)
+    suspect = False
     if not per_step:
         # Every attempt was physically impossible (persistent tunnel jitter
-        # or a broken FLOP floor): report the raw measurements rather than
-        # crash, flagged so the number is never mistaken for a clean run.
+        # or a broken FLOP floor): report the raw positive measurements,
+        # flagged IN THE JSON so the number is never mistaken for a clean
+        # run even when stderr is discarded.
         print(f"# WARNING: all {attempts} repeats rejected by the "
               f"{floor * 1e3:.2f} ms FLOP floor; reporting unfiltered times",
               file=sys.stderr)
-        per_step = [max(t, 1e-9) for t in rejected]
+        suspect = True
+        per_step = [t for t in rejected if t > 0]
+        if not per_step:
+            # Negative marginal times throughout — no physically meaningful
+            # throughput exists; report zero rather than a fabricated number.
+            return {"median": 0.0, "min": 0.0, "max": 0.0, "spread_pct": 0.0,
+                    "tflops_per_step": round(flops / 1e12, 3),
+                    "implied_mfu": 0.0, "repeats": 0,
+                    "all_repeats_rejected": True}
     ips = sorted(batch / t for t in per_step)
     med_t = statistics.median(per_step)
-    return {
+    out = {
         "median": round(statistics.median(ips), 2),
         "min": round(ips[0], 2),
         "max": round(ips[-1], 2),
@@ -194,6 +204,9 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         "implied_mfu": round(flops / med_t / PEAK_FLOPS, 4) if flops else 0.0,
         "repeats": len(per_step),
     }
+    if suspect:
+        out["all_repeats_rejected"] = True
+    return out
 
 
 def _ensure_e2e_fixture(n: int, canvas: int = 384) -> str:
@@ -330,15 +343,19 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
 
     run_epoch(0)  # warmup: compile + page-cache the mmap / stage HBM
     vals = sorted(run_epoch(1 + r) for r in range(repeats))
-    return {
+    out = {
         "median": round(statistics.median(vals), 2),
         "min": round(vals[0], 2),
         "max": round(vals[-1], 2),
-        "workers": workers,
         "steps_per_dispatch": k,
         "epoch_steps": epoch_steps,
         "resident": resident,
     }
+    if not resident:
+        # Loader threads only exist on the streaming path; the resident path
+        # has no host loader at all.
+        out["workers"] = workers
+    return out
 
 
 def main():

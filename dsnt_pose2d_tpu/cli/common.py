@@ -75,6 +75,9 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--input-size", type=int, default=0)
 
 
+WORKERS_DEFAULT = 4
+
+
 def add_data_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("data")
     g.add_argument("--data-dir", default="data/mpii")
@@ -87,7 +90,7 @@ def add_data_args(p: argparse.ArgumentParser):
                    choices=["gather", "shear"],
                    help="on-device bilinear warp implementation (shear = "
                         "faster multi-pass; gather = direct 2-D reference)")
-    g.add_argument("--workers", type=int, default=4,
+    g.add_argument("--workers", type=int, default=WORKERS_DEFAULT,
                    help="loader sample-fetch threads (native decode is GIL-free)")
     g.add_argument("--pretrained-resnet", default="",
                    help="torchvision ResNet state_dict (.pth/.npz) to "

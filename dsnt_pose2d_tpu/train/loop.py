@@ -33,6 +33,13 @@ from ..parallel.mesh import batch_sharding, replicated, shard_batch
 from ..utils.config import Config
 from .state import TrainState, create_train_state, make_optimizer
 
+# Maximum executions queued ahead of the oldest un-fetched result in the
+# full-pass eval/predict loops.  Each queued execution pins its input batch
+# in device HBM, so an unthrottled dispatch of a large split (e.g. infer
+# over full MPII at 384px uint8) could stack hundreds of MB of input
+# buffers; a small window keeps the pipeline full at a bounded footprint.
+_MAX_INFLIGHT = 4
+
 
 def normalized_to_crop_px(coords_norm: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((coords_norm + 1.0) * size - 1.0) / 2.0
@@ -458,54 +465,54 @@ class Trainer:
                     self.checkpointer.save_step(s, epoch=epoch,
                                                 step_in_epoch=sie)
 
+            # All four input modes (resident/streaming x single/multi-step)
+            # are normalized to one ("single"|"multi", payload) group stream
+            # plus a pair of step functions, so loss bookkeeping, step
+            # counting, checkpoint cadence and metric logging live in ONE
+            # loop.  Logging semantics per mode: single-step dispatch logs
+            # the full metrics dict every ``log_every_steps``; multi-step
+            # dispatch only has the scanned losses, logged once per dispatch
+            # (its ragged single tail does not log).
             if self.resident is not None:
                 res = self.resident.resident
+                single_fn = lambda st, idx: self.resident_step(st, res, idx)
                 if self.resident_multi is not None:
+                    multi_fn = lambda st, idx: self.resident_multi(
+                        st, res, idx)
                     groups = self.resident.epoch_groups(
                         epoch, k_dispatch, step_in_epoch)
-                    for kind, idx in groups:
-                        if kind == "single":  # ragged tail
-                            state, m = self.resident_step(state, res, idx)
-                            losses.append(m["loss"])
-                            step_in_epoch += 1
-                            maybe_save_step(state, step_in_epoch)
-                            continue
-                        state, ms = self.resident_multi(state, res, idx)
-                        losses.extend(
-                            [ms["loss"][i] for i in range(k_dispatch)])
-                        step_in_epoch += k_dispatch
-                        maybe_save_step(state, step_in_epoch)
-                        if self.metric_writer:
-                            self.metric_writer.write(
-                                {"epoch": epoch,
-                                 "step": int(jax.device_get(state.step)),
-                                 "loss": float(jax.device_get(ms["loss"][-1]))})
                 else:
-                    for step, idx in enumerate(
-                            self.resident.epoch(epoch, step_in_epoch)):
-                        state, metrics = self.resident_step(state, res, idx)
-                        losses.append(metrics["loss"])
-                        step_in_epoch += 1
-                        maybe_save_step(state, step_in_epoch)
-                        if self.metric_writer and \
-                                step % cfg.train.log_every_steps == 0:
-                            self.metric_writer.write(
-                                {"epoch": epoch,
-                                 "step": int(jax.device_get(state.step)),
-                                 **{k: float(jax.device_get(v))
-                                    for k, v in metrics.items()}})
-            elif self.multi_step is not None:
-                groups = _prefetch_dispatch_groups(
-                    self.train_loader.epoch(epoch, step_in_epoch),
-                    k_dispatch, self.mesh)
-                for kind, payload in groups:
-                    if kind == "single":      # ragged tail batch
-                        state, m = self.train_step(state, payload)
-                        losses.append(m["loss"])
-                        step_in_epoch += 1
-                        maybe_save_step(state, step_in_epoch)
-                        continue
-                    state, ms = self.multi_step(state, payload)
+                    multi_fn = None
+                    groups = (("single", idx) for idx in
+                              self.resident.epoch(epoch, step_in_epoch))
+            else:
+                single_fn = self.train_step
+                multi_fn = self.multi_step
+                if multi_fn is not None:
+                    groups = _prefetch_dispatch_groups(
+                        self.train_loader.epoch(epoch, step_in_epoch),
+                        k_dispatch, self.mesh)
+                else:
+                    groups = (("single", b) for b in prefetch_to_device(
+                        self.train_loader.epoch(epoch, step_in_epoch),
+                        self.mesh))
+
+            dispatches = 0  # single-mode log gate counter
+            for kind, payload in groups:
+                if kind == "single":
+                    state, m = single_fn(state, payload)
+                    losses.append(m["loss"])
+                    step_in_epoch += 1
+                    maybe_save_step(state, step_in_epoch)
+                    if (self.metric_writer and multi_fn is None and
+                            dispatches % cfg.train.log_every_steps == 0):
+                        self.metric_writer.write(
+                            {"epoch": epoch,
+                             "step": int(jax.device_get(state.step)),
+                             **{k: float(jax.device_get(v))
+                                for k, v in m.items()}})
+                else:
+                    state, ms = multi_fn(state, payload)
                     losses.extend([ms["loss"][i] for i in range(k_dispatch)])
                     step_in_epoch += k_dispatch
                     maybe_save_step(state, step_in_epoch)
@@ -514,18 +521,7 @@ class Trainer:
                             {"epoch": epoch,
                              "step": int(jax.device_get(state.step)),
                              "loss": float(jax.device_get(ms["loss"][-1]))})
-            else:
-                batches = prefetch_to_device(
-                    self.train_loader.epoch(epoch, step_in_epoch), self.mesh)
-                for step, batch in enumerate(batches):
-                    state, metrics = self.train_step(state, batch)
-                    losses.append(metrics["loss"])
-                    step_in_epoch += 1
-                    maybe_save_step(state, step_in_epoch)
-                    if self.metric_writer and step % cfg.train.log_every_steps == 0:
-                        self.metric_writer.write(
-                            {"epoch": epoch, "step": int(jax.device_get(state.step)),
-                             **{k: float(jax.device_get(v)) for k, v in metrics.items()}})
+                dispatches += 1
             n_steps = len(losses)
             jax.block_until_ready(state.params)
             epoch_time = time.time() - t0
@@ -573,24 +569,34 @@ def run_evaluation(eval_step, state, mesh, loader, num_joints: int,
     """Drive one full pass of ``loader`` through a jitted eval step.
 
     Batches are prefetched to device (H2D overlaps the previous step's
-    compute) and metric fetches are deferred until dispatch, so the eval
-    pass pipelines instead of serializing transfer -> compute -> fetch.
+    compute) and metric fetches lag dispatch by a bounded window, so the
+    eval pass pipelines instead of serializing transfer -> compute -> fetch
+    while never queuing more than ``_MAX_INFLIGHT`` executions (each queued
+    execution pins its input batch in device HBM).
     """
+    from collections import deque
+
     from ..data.loader import prefetch_pairs
 
     evaluator = PCKhEvaluator(num_joints)
-    outs = []
-    first = None
-    for host_batch, dev_batch in prefetch_pairs(loader.epoch(0), mesh):
-        out = eval_step(state, dev_batch)
-        outs.append(out)  # async: fetch after the full pass is dispatched
-        if first is None:
-            first = (host_batch, out)
     losses = []
-    for out in outs:
+    first = None
+    inflight: deque = deque()
+
+    def drain(out):
         evaluator.add_counts(jax.device_get(out["pckh_correct"]),
                              jax.device_get(out["pckh_total"]))
         losses.append(float(jax.device_get(out["loss"])))
+
+    for host_batch, dev_batch in prefetch_pairs(loader.epoch(0), mesh):
+        out = eval_step(state, dev_batch)
+        inflight.append(out)
+        if first is None:
+            first = (host_batch, out)
+        if len(inflight) > _MAX_INFLIGHT:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
     if first is not None:
         first = (first[0], np.asarray(jax.device_get(first[1]["pred_orig"])))
     if sample_dir and first is not None and jax.process_index() == 0:
@@ -658,18 +664,32 @@ class EvalDriver:
         # written out, not mistaken for an uncovered row.
         covered = np.zeros((n,), bool)
         gidx = self.loader.global_index_batches(0)
-        outs = []
-        for _, dev_batch in prefetch_pairs(self.loader.epoch(0), self.mesh):
-            outs.append(self._infer_step(state, dev_batch))
-        if len(outs) != len(gidx):
-            raise RuntimeError(
-                f"loader produced {len(outs)} batches, index map has "
-                f"{len(gidx)}")
-        for gi, out in zip(gidx, outs):
+
+        def scatter(gi, out):
             preds = np.asarray(jax.device_get(out))
             keep = gi >= 0
             out_arr[gi[keep]] = preds[keep]
             covered[gi[keep]] = True
+
+        # Fetches lag dispatch by a bounded window so the pass pipelines
+        # without queuing an unbounded number of executions (each queued
+        # execution pins its input batch in device HBM).
+        from collections import deque
+        inflight: deque = deque()
+        count = 0
+        for _, dev_batch in prefetch_pairs(self.loader.epoch(0), self.mesh):
+            if count < len(gidx):
+                inflight.append((gidx[count], self._infer_step(state,
+                                                               dev_batch)))
+            count += 1
+            if len(inflight) > _MAX_INFLIGHT:
+                scatter(*inflight.popleft())
+        if count != len(gidx):
+            raise RuntimeError(
+                f"loader produced {count} batches, index map has "
+                f"{len(gidx)}")
+        while inflight:
+            scatter(*inflight.popleft())
         if not covered.all():
             raise RuntimeError(
                 f"predict() left {int((~covered).sum())} of {n} dataset "

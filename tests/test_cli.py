@@ -129,13 +129,16 @@ def test_merge_cli_overrides_explicit_default_and_source_reset():
 
     base = Config()
     base = dataclasses.replace(
-        base, data=dataclasses.replace(base.data, source="h5", workers=4))
+        base, data=dataclasses.replace(base.data, source="h5", workers=1))
 
-    # --workers 1 IS the argparse default; it must still override workers=4.
-    argv = ["--data-dir", "/other", "--workers", "1"]
+    # --workers 4 IS the argparse default; it must still override workers=1.
+    from dsnt_pose2d_tpu.cli.common import WORKERS_DEFAULT
+    assert p.get_default("workers") == WORKERS_DEFAULT == 4, \
+        "update this test if the --workers default changes"
+    argv = ["--data-dir", "/other", "--workers", "4"]
     args = p.parse_args(argv)
     merged = merge_cli_overrides(base, args, p, argv)
-    assert merged.data.workers == 1
+    assert merged.data.workers == 4
     assert merged.data.data_dir == "/other"
     assert merged.data.source == "auto"  # reset: re-detect at the new dir
 
