@@ -56,15 +56,69 @@ def resident_nbytes(dataset) -> int:
     return sum(a.nbytes for a in arrays.values()) if arrays else 0
 
 
-def resident_fits(dataset, mesh) -> bool:
-    """'auto' fit check: per-device resident bytes within the HBM budget."""
+def resident_fits(dataset, mesh, extra_nbytes: int = 0) -> bool:
+    """'auto' fit check: per-device resident bytes within the HBM budget.
+
+    ``extra_nbytes`` accounts for split(s) ALREADY staged resident (e.g. the
+    train split when deciding whether the val split also fits).
+    """
     arrays = resident_arrays(dataset)
     if arrays is None:
         return False
     d = mesh.shape.get("data", 1)
     budget = int(os.environ.get("DSNT_RESIDENT_BUDGET_BYTES",
                                 DEFAULT_BUDGET_BYTES))
-    return resident_nbytes(dataset) // max(d, 1) <= budget
+    return (resident_nbytes(dataset) + extra_nbytes) // max(d, 1) <= budget
+
+
+def _stage_strided(arrays: dict, mesh, n: int, d: int):
+    """Stage whole-split arrays in HBM under the strided shard layout.
+
+    Shard ``s`` holds dataset rows ``{s, s+d, s+2d, ...}`` — balanced to
+    within one row for any ``n`` and matching the streaming loader's
+    cross-host interleave.  Shards are padded to equal length by repeating
+    their last valid row.  Returns ``(resident dict, rows_per_shard,
+    shard_valid)`` where ``shard_valid[s]`` is the number of real (non-pad)
+    rows in shard ``s``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    rps = -(-n // d)  # ceil
+    valid = (n - np.arange(d) + d - 1) // d
+    n_pad = rps * d
+
+    def staged(arr):
+        def shard_of(index):
+            sl = index[0]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else n_pad
+            g = np.arange(start, stop)
+            shard, local = g // rps, g % rps
+            rows = np.minimum(local, valid[shard] - 1) * d + shard
+            return np.asarray(arr[rows])
+
+        return jax.make_array_from_callback(
+            (n_pad,) + arr.shape[1:],
+            NamedSharding(mesh, P(DATA_AXIS, *([None] * (arr.ndim - 1)))),
+            shard_of)
+
+    return {k: staged(a) for k, a in arrays.items()}, rps, valid
+
+
+def _put_sharded(mesh, host_arr: np.ndarray):
+    """Stage a global (B,) / (k, B) host array, batch-axis sharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    spec = (P(DATA_AXIS) if host_arr.ndim == 1 else P(None, DATA_AXIS))
+    return jax.make_array_from_callback(
+        host_arr.shape, NamedSharding(mesh, spec),
+        lambda index: host_arr[index])
 
 
 class ResidentTrainData:
@@ -102,40 +156,13 @@ class ResidentTrainData:
         self.global_batch_size = global_batch_size
         self.shard_batch_size = global_batch_size // d
         self.local_batch_size = global_batch_size // jax.process_count()
-        # Strided (round-robin) shard layout: shard s holds dataset rows
-        # {s, s+d, s+2d, ...} — balanced to within one row for any n (a
-        # contiguous block split can leave trailing shards empty), and the
-        # same interleave the streaming loader uses across hosts.  Shards are
-        # padded to equal length by repeating their last valid row; pad rows
-        # are never sampled.
-        self.rows_per_shard = -(-n // d)  # ceil
-        self.shard_valid = (n - np.arange(d) + d - 1) // d
+        self.resident, self.rows_per_shard, self.shard_valid = \
+            _stage_strided(arrays, mesh, n, d)
         self.steps_per_epoch = int(self.shard_valid.min()) // self.shard_batch_size
         if self.steps_per_epoch < 1:
             raise ValueError(
                 f"shards of {int(self.shard_valid.min())} valid rows cannot "
                 f"fill a per-shard batch of {self.shard_batch_size}")
-
-        rps = self.rows_per_shard
-        n_pad = rps * d
-        valid = self.shard_valid
-
-        def staged(arr):
-            def shard_of(index):
-                sl = index[0]
-                start = sl.start or 0
-                stop = sl.stop if sl.stop is not None else n_pad
-                g = np.arange(start, stop)
-                shard, local = g // rps, g % rps
-                rows = np.minimum(local, valid[shard] - 1) * d + shard
-                return np.asarray(arr[rows])
-
-            return jax.make_array_from_callback(
-                (n_pad,) + arr.shape[1:],
-                NamedSharding(mesh, P(DATA_AXIS, *([None] * (arr.ndim - 1)))),
-                shard_of)
-
-        self.resident = {k: staged(a) for k, a in arrays.items()}
         self.nbytes = sum(a.nbytes for a in arrays.values())
 
     def dataset_row(self, shard: int, local: int) -> int:
@@ -155,15 +182,7 @@ class ResidentTrainData:
 
     def _put_idx(self, host_idx: np.ndarray):
         """Stage a global (B,) / (k, B) index array, batch-axis sharded."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import DATA_AXIS
-
-        spec = (P(DATA_AXIS) if host_idx.ndim == 1 else P(None, DATA_AXIS))
-        return jax.make_array_from_callback(
-            host_idx.shape, NamedSharding(self.mesh, spec),
-            lambda index: host_idx[index])
+        return _put_sharded(self.mesh, host_idx)
 
     def epoch(self, epoch: int, start_step: int = 0):
         """Yield per-step (B,) device index vectors (shard-local offsets)."""
@@ -195,3 +214,78 @@ class ResidentTrainData:
                 for i in range(take):
                     yield "single", self._put_idx(block[i])
             step += take
+
+
+class ResidentEvalData:
+    """HBM-resident val split + sequential full-coverage index stream.
+
+    Counterpart of :class:`ResidentTrainData` for the Trainer's per-epoch
+    eval pass.  The one-shot evaluate/infer CLIs gain nothing from residency
+    (they pay the same one-time H2D either way), but IN-TRAINING eval
+    re-streams the whole val split every epoch — on a slow host->device
+    transport that costs more than the eval compute itself once the train
+    path is resident.
+
+    Coverage contract (mirrors the streaming loader's ``drop_last=False``
+    semantics): every dataset row is evaluated exactly once.  The strided
+    shard layout pads shards to equal length by repeating their last valid
+    row, and the sequential stream pads the ragged final batch the same way;
+    each yielded step therefore carries a (B,) ``valid`` vector alongside
+    its (B,) shard-local offsets, and the resident eval step multiplies
+    ``valid`` into the joint mask — masked loss denominators and PCKh counts
+    then exclude pad rows exactly, so resident counts equal streaming counts
+    row-for-row.
+    """
+
+    def __init__(self, dataset, global_batch_size: int, mesh):
+        arrays = resident_arrays(dataset)
+        if arrays is None:
+            raise ValueError(
+                "dataset is not array-backed; pack it first or use the "
+                "streaming loader")
+        self.mesh = mesh
+        n = len(dataset)
+        d = mesh.shape.get("data", 1)
+        if global_batch_size % d:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"data-axis size {d}")
+        if n < d:
+            raise ValueError(f"dataset ({n}) smaller than data axis ({d})")
+        self.num_shards = d
+        self.global_batch_size = global_batch_size
+        self.shard_batch_size = global_batch_size // d
+        self.resident, self.rows_per_shard, self.shard_valid = \
+            _stage_strided(arrays, mesh, n, d)
+        self.steps_per_epoch = -(-self.rows_per_shard // self.shard_batch_size)
+        self.nbytes = sum(a.nbytes for a in arrays.values())
+
+    def _step_host_arrays(self, step: int):
+        """Host-side (idx, valid) for one step, in global-batch layout.
+
+        Global-batch layout matches the shard_map gather output: shard s's
+        ``shard_batch_size`` rows occupy block s of the batch axis.
+        """
+        bs = self.shard_batch_size
+        local = np.arange(step * bs, (step + 1) * bs)
+        idx = np.minimum(local, self.rows_per_shard - 1)
+        idx = np.broadcast_to(idx, (self.num_shards, bs))
+        valid = local[None, :] < self.shard_valid[:, None]
+        return (np.ascontiguousarray(idx).reshape(-1).astype(np.int32),
+                valid.reshape(-1).astype(np.float32))
+
+    def host_rows(self, step: int) -> np.ndarray:
+        """DATASET row per global-batch position for one step (pads repeat
+        their shard's last valid row) — for host-side sample rendering."""
+        bs = self.shard_batch_size
+        local = np.arange(step * bs, (step + 1) * bs)
+        shard = np.repeat(np.arange(self.num_shards), bs)
+        local = np.tile(local, self.num_shards)
+        clamped = np.minimum(local, self.shard_valid[shard] - 1)
+        return (clamped * self.num_shards + shard).astype(np.int64)
+
+    def epoch(self):
+        """Yield per-step device (idx, valid) pairs covering the split."""
+        for step in range(self.steps_per_epoch):
+            idx, valid = self._step_host_arrays(step)
+            yield _put_sharded(self.mesh, idx), _put_sharded(self.mesh, valid)

@@ -295,6 +295,32 @@ def make_resident_multi_step(model: PoseModel, cfg: Config, mesh,
                    donate_argnums=(0,) if cfg.train.donate else ())
 
 
+def make_resident_eval_step(model: PoseModel, cfg: Config, mesh):
+    """Eval step over an HBM-resident val split: (state, resident, idx, valid).
+
+    Identical numerics to the streaming ``eval_step`` on the same rows; the
+    (B,) ``valid`` vector (see ``data.resident.ResidentEvalData``) is
+    multiplied into the joint mask so shard/batch pad rows contribute to
+    neither the masked loss denominator nor the PCKh counts.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    _, eval_step = _build_eval_body(model, cfg)
+    gather = _make_resident_gather(mesh)
+
+    def step(state: TrainState, resident, idx, valid):
+        batch = dict(gather(resident, idx))
+        batch["mask"] = batch["mask"] * valid[:, None]
+        return eval_step(state, batch)
+
+    repl = replicated(mesh)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, dsh, dsh, dsh),
+                   out_shardings=repl)
+
+
 def make_multi_step(model: PoseModel, cfg: Config, mesh,
                     steps_per_epoch: int = 1):
     """A k-step train function: ``lax.scan`` over a stacked super-batch.
@@ -393,6 +419,11 @@ class Trainer:
         elif self.cfg.train.steps_per_dispatch > 1:
             self.multi_step = make_multi_step(
                 self.model, self.cfg, self.mesh, spe)
+        self.val_resident = self._maybe_val_resident()
+        self.resident_eval_step = None
+        if self.val_resident is not None:
+            self.resident_eval_step = make_resident_eval_step(
+                self.model, self.cfg, self.mesh)
 
     def _maybe_resident(self):
         """Stage the train split in HBM when configured (and it fits)."""
@@ -413,6 +444,30 @@ class Trainer:
             return None
         return ResidentTrainData(ds, self.cfg.train.batch_size, self.mesh,
                                  seed=self.cfg.train.seed)
+
+    def _maybe_val_resident(self):
+        """Stage the val split in HBM too, when configured and it fits.
+
+        Gated on the SAME ``device_resident`` knob as the train split; in
+        'auto' mode the fit check charges the budget for whatever the train
+        split already staged, so the pair never over-commits HBM.  Falls
+        back to the streaming eval pass silently (eval correctness is
+        identical either way — see ``run_evaluation_resident``).
+        """
+        mode = getattr(self.cfg.data, "device_resident", "off")
+        if mode == "off" or self.val_loader is None:
+            return None
+        from ..data.resident import (ResidentEvalData, resident_arrays,
+                                     resident_fits)
+
+        ds = self.val_loader.dataset
+        if resident_arrays(ds) is None:
+            return None
+        staged = self.resident.nbytes if self.resident is not None else 0
+        if mode == "auto" and not resident_fits(ds, self.mesh,
+                                                extra_nbytes=staged):
+            return None
+        return ResidentEvalData(ds, self.cfg.train.batch_size, self.mesh)
 
     def init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.train.seed)
@@ -497,35 +552,63 @@ class Trainer:
                         self.train_loader.epoch(epoch, step_in_epoch),
                         self.mesh))
 
-            dispatches = 0  # single-mode log gate counter
+            # Metric-log fetches LAG dispatch by a bounded window: a
+            # device_get on the just-dispatched state is a full dispatch
+            # barrier, which on a tunneled/slow transport serializes every
+            # dispatch (measured: per-dispatch loss fetches alone held the
+            # resident hg8 path to ~40% of its bench throughput).  The
+            # global step is tracked on host for the same reason.
+            from collections import deque
+
+            dispatches = 0  # log gate counter
+            steps_done = 0
+            base_step = int(jax.device_get(state.step))
+            pending: deque = deque()
+
+            def drain_logs(limit: int = 0):
+                while len(pending) > limit:
+                    rec, vals = pending.popleft()
+                    got = jax.device_get(vals)
+                    self.metric_writer.write(
+                        {**rec, **{k: float(v) for k, v in got.items()}})
+
+            log_every_dispatches = max(
+                1, cfg.train.log_every_steps // k_dispatch)
             for kind, payload in groups:
                 if kind == "single":
                     state, m = single_fn(state, payload)
                     losses.append(m["loss"])
+                    steps_done += 1
                     step_in_epoch += 1
                     maybe_save_step(state, step_in_epoch)
                     if (self.metric_writer and multi_fn is None and
                             dispatches % cfg.train.log_every_steps == 0):
-                        self.metric_writer.write(
-                            {"epoch": epoch,
-                             "step": int(jax.device_get(state.step)),
-                             **{k: float(jax.device_get(v))
-                                for k, v in m.items()}})
+                        pending.append((
+                            {"epoch": epoch, "step": base_step + steps_done},
+                            dict(m)))
+                        drain_logs(_MAX_INFLIGHT)
                 else:
                     state, ms = multi_fn(state, payload)
-                    losses.extend([ms["loss"][i] for i in range(k_dispatch)])
+                    losses.append(ms["loss"])  # (k,) device array
+                    steps_done += k_dispatch
                     step_in_epoch += k_dispatch
                     maybe_save_step(state, step_in_epoch)
-                    if self.metric_writer:
-                        self.metric_writer.write(
-                            {"epoch": epoch,
-                             "step": int(jax.device_get(state.step)),
-                             "loss": float(jax.device_get(ms["loss"][-1]))})
+                    if (self.metric_writer and
+                            dispatches % log_every_dispatches == 0):
+                        pending.append((
+                            {"epoch": epoch, "step": base_step + steps_done},
+                            {"loss": ms["loss"][-1]}))
+                        drain_logs(_MAX_INFLIGHT)
                 dispatches += 1
-            n_steps = len(losses)
+            if self.metric_writer:
+                drain_logs(0)
             jax.block_until_ready(state.params)
             epoch_time = time.time() - t0
-            train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else float("nan")
+            flat_losses = (np.concatenate(
+                [np.atleast_1d(np.asarray(x)) for x in jax.device_get(losses)])
+                if losses else np.zeros(0))
+            n_steps = int(flat_losses.size)
+            train_loss = float(flat_losses.mean()) if n_steps else float("nan")
 
             summary = {"epoch": epoch, "train_loss": train_loss,
                        "epoch_seconds": epoch_time,
@@ -559,6 +642,11 @@ class Trainer:
 
     def evaluate(self, state: TrainState, sample_dir: str | None = None,
                  epoch: int = 0) -> dict:
+        if self.val_resident is not None:
+            return run_evaluation_resident(
+                self.resident_eval_step, state, self.val_resident,
+                self.model.cfg.num_joints, sample_dir=sample_dir,
+                epoch=epoch, dataset=self.val_loader.dataset)
         return run_evaluation(self.eval_step, state, self.mesh,
                               self.val_loader, self.model.cfg.num_joints,
                               sample_dir=sample_dir, epoch=epoch)
@@ -601,6 +689,53 @@ def run_evaluation(eval_step, state, mesh, loader, num_joints: int,
         first = (first[0], np.asarray(jax.device_get(first[1]["pred_orig"])))
     if sample_dir and first is not None and jax.process_index() == 0:
         _dump_samples(sample_dir, epoch, first[0], first[1])
+    return {"loss": float(np.mean(losses)) if losses else float("nan"),
+            "pckh": evaluator.total_pckh(),
+            "evaluator": evaluator}
+
+
+def run_evaluation_resident(resident_eval_step, state, res, num_joints: int,
+                            sample_dir: str | None = None, epoch: int = 0,
+                            dataset=None) -> dict:
+    """One full eval pass over an HBM-resident val split.
+
+    The per-step H2D is a (B,) int32 + (B,) float32 upload (~hundreds of
+    bytes) instead of a multi-MB canvas batch, so in-training eval stops
+    paying the val-split transfer every epoch.  Dispatches run ahead of
+    metric fetches by the same bounded window as the streaming pass.
+    """
+    from collections import deque
+
+    evaluator = PCKhEvaluator(num_joints)
+    losses = []
+    first_out = None
+    inflight: deque = deque()
+
+    def drain(out):
+        evaluator.add_counts(jax.device_get(out["pckh_correct"]),
+                             jax.device_get(out["pckh_total"]))
+        losses.append(float(jax.device_get(out["loss"])))
+
+    for idx, valid in res.epoch():
+        out = resident_eval_step(state, res.resident, idx, valid)
+        inflight.append(out)
+        if first_out is None:
+            first_out = out
+        if len(inflight) > _MAX_INFLIGHT:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
+    if (sample_dir and first_out is not None and dataset is not None
+            and jax.process_index() == 0):
+        # Reconstruct the first step's host rows for skeleton renders (the
+        # resident pass never materializes a host batch).
+        from ..data.resident import resident_arrays
+
+        arrays = resident_arrays(dataset)
+        rows = res.host_rows(0)[:4]
+        host_batch = {k: np.asarray(a[rows]) for k, a in arrays.items()}
+        preds = np.asarray(jax.device_get(first_out["pred_orig"]))
+        _dump_samples(sample_dir, epoch, host_batch, preds)
     return {"loss": float(np.mean(losses)) if losses else float("nan"),
             "pckh": evaluator.total_pckh(),
             "evaluator": evaluator}

@@ -237,3 +237,110 @@ def test_trainer_resident_off_keeps_streaming():
                  train_loader=ShardedLoader(_dataset(32), 8, shuffle=True,
                                             seed=0))
     assert tr.resident is None and tr.resident_step is None
+
+
+# ---------------------------------------------------------------------------
+# Resident EVAL path (ResidentEvalData + run_evaluation_resident)
+# ---------------------------------------------------------------------------
+
+
+def _eval_state(cfg, model):
+    return jax.device_put(
+        create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                           batch_size=8, epochs=1),
+        replicated(make_mesh(8)))
+
+
+def test_resident_eval_matches_streaming_counts():
+    """PCKh counts are EXACTLY equal between the streaming eval pass and the
+    resident one on the same split — every row once, pads excluded."""
+    from dsnt_pose2d_tpu.data.loader import ShardedLoader
+    from dsnt_pose2d_tpu.data.resident import ResidentEvalData
+    from dsnt_pose2d_tpu.train.loop import (
+        make_eval_fn,
+        make_resident_eval_step,
+        run_evaluation,
+        run_evaluation_resident,
+    )
+
+    cfg = _cfg(8)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(8)
+    ds = _dataset(19)  # ragged: 8 shards of 3/2 rows + a ragged final batch
+    state = _eval_state(cfg, model)
+
+    loader = ShardedLoader(ds, 8, shuffle=False, drop_last=False)
+    stream = run_evaluation(make_eval_fn(model, cfg, mesh), state, mesh,
+                            loader, cfg.model.num_joints)
+
+    res = ResidentEvalData(ds, 8, mesh)
+    assert res.steps_per_epoch == 3  # ceil(3 rows/shard / 1 per-shard batch)
+    resident = run_evaluation_resident(
+        make_resident_eval_step(model, cfg, mesh), state, res,
+        cfg.model.num_joints)
+
+    se, re_ = stream["evaluator"], resident["evaluator"]
+    np.testing.assert_array_equal(se.correct, re_.correct)
+    np.testing.assert_array_equal(se.total, re_.total)
+    assert stream["pckh"] == resident["pckh"]
+    # Sum of per-sample joints counted must equal the real split's visible
+    # joints (no pad row leaked in, no real row dropped).
+    assert int(re_.total.sum()) == int(
+        np.asarray(resident_arrays(ds)["mask"]).sum())
+
+
+def test_resident_eval_host_rows_layout():
+    from dsnt_pose2d_tpu.data.resident import ResidentEvalData
+
+    ds = _dataset(19)
+    res = ResidentEvalData(ds, 8, make_mesh(8))
+    rows0 = res.host_rows(0)
+    # Step 0, per-shard batch of 1: position s holds shard s's first row,
+    # which under the strided layout is dataset row s.
+    np.testing.assert_array_equal(rows0, np.arange(8))
+    # Final step: shards whose rows ran out repeat their last valid row.
+    rows_last = res.host_rows(res.steps_per_epoch - 1)
+    assert rows_last.max() < len(ds)
+
+
+def test_trainer_auto_stages_val_resident(tmp_path):
+    from dsnt_pose2d_tpu.data.loader import ShardedLoader
+    from dsnt_pose2d_tpu.train.loop import Trainer
+
+    import dataclasses
+
+    cfg = _cfg(8, resident="auto", donate=True)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=1,
+                                       eval_every_epochs=1))
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(8)
+    train_loader = ShardedLoader(_dataset(32), 8, shuffle=True, seed=0)
+    val_loader = ShardedLoader(_dataset(16, seed=5), 8, shuffle=False,
+                               drop_last=False)
+    tr = Trainer(model=model, cfg=cfg, mesh=mesh, train_loader=train_loader,
+                 val_loader=val_loader)
+    assert tr.resident is not None and tr.val_resident is not None
+    _, best = tr.run()
+    assert 0.0 <= best <= 1.0
+
+
+def test_val_resident_budget_charges_train_split(monkeypatch):
+    """'auto' declines the val split when train residency already spent the
+    budget (and keeps the train split staged)."""
+    from dsnt_pose2d_tpu.data.loader import ShardedLoader
+    from dsnt_pose2d_tpu.train.loop import Trainer
+
+    train_ds, val_ds = _dataset(32), _dataset(16, seed=5)
+    per_dev_train = resident_nbytes(train_ds) // 8
+    need_val = (resident_nbytes(train_ds) + resident_nbytes(val_ds)) // 8
+    monkeypatch.setenv("DSNT_RESIDENT_BUDGET_BYTES",
+                       str((per_dev_train + need_val) // 2))
+    cfg = _cfg(8, resident="auto")
+    tr = Trainer(model=build_pose_model(cfg.model), cfg=cfg,
+                 mesh=make_mesh(8),
+                 train_loader=ShardedLoader(train_ds, 8, shuffle=True),
+                 val_loader=ShardedLoader(val_ds, 8, shuffle=False,
+                                          drop_last=False))
+    assert tr.resident is not None      # train fits alone
+    assert tr.val_resident is None      # train+val exceeds the budget
