@@ -32,7 +32,33 @@ import os
 
 import numpy as np
 
-DEFAULT_BUDGET_BYTES = 8 << 30  # per-device cap for 'auto' (v5e: 16 GB HBM)
+DEFAULT_BUDGET_BYTES = 11 << 30  # per-device cap for 'auto' (v5e: 16 GB HBM)
+
+
+def resident_budget_bytes(mesh=None) -> int:
+    """Per-device HBM budget for the 'auto' residency decision.
+
+    Priority: ``DSNT_RESIDENT_BUDGET_BYTES`` env override; else 70% of the
+    device's reported HBM limit (``memory_stats``, unavailable on some
+    transports); else :data:`DEFAULT_BUDGET_BYTES` (sized for a 16 GB v5e:
+    11 GiB staged data leaves ~5 GiB for params/opt/activations at the
+    flagship hg8 batch-16 shape).
+    """
+    env = os.environ.get("DSNT_RESIDENT_BUDGET_BYTES")
+    if env is not None:
+        return int(env)
+    try:
+        import jax
+
+        devs = list(mesh.devices.flat) if mesh is not None else \
+            jax.local_devices()
+        stats = devs[0].memory_stats()
+        limit = stats.get("bytes_limit", 0) if stats else 0
+        if limit > 0:
+            return int(limit * 0.7)
+    except Exception:
+        pass
+    return DEFAULT_BUDGET_BYTES
 
 
 def resident_arrays(dataset) -> dict | None:
@@ -66,8 +92,7 @@ def resident_fits(dataset, mesh, extra_nbytes: int = 0) -> bool:
     if arrays is None:
         return False
     d = mesh.shape.get("data", 1)
-    budget = int(os.environ.get("DSNT_RESIDENT_BUDGET_BYTES",
-                                DEFAULT_BUDGET_BYTES))
+    budget = resident_budget_bytes(mesh)
     return (resident_nbytes(dataset) + extra_nbytes) // max(d, 1) <= budget
 
 

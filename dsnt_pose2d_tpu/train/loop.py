@@ -425,13 +425,18 @@ class Trainer:
             self.resident_eval_step = make_resident_eval_step(
                 self.model, self.cfg, self.mesh)
 
+    def _log0(self, msg: str):
+        if jax.process_index() == 0:
+            print(msg, flush=True)
+
     def _maybe_resident(self):
         """Stage the train split in HBM when configured (and it fits)."""
         mode = getattr(self.cfg.data, "device_resident", "off")
         if mode == "off":
             return None
         from ..data.resident import (ResidentTrainData, resident_arrays,
-                                     resident_fits)
+                                     resident_budget_bytes, resident_fits,
+                                     resident_nbytes)
 
         ds = self.train_loader.dataset
         if resident_arrays(ds) is None:
@@ -439,9 +444,22 @@ class Trainer:
                 raise ValueError(
                     "device_resident=on but the train dataset is not "
                     "array-backed; pack it first (data.pack)")
+            self._log0("device_resident=auto: train dataset is not "
+                       "array-backed -> streaming")
             return None
+        d = max(self.mesh.shape.get("data", 1), 1)
+        share, budget = resident_nbytes(ds) // d, resident_budget_bytes(
+            self.mesh)
         if mode == "auto" and not resident_fits(ds, self.mesh):
+            self._log0(
+                f"device_resident=auto: train split {share / 2**30:.2f} "
+                f"GiB/device > budget {budget / 2**30:.2f} GiB -> streaming "
+                "(raise DSNT_RESIDENT_BUDGET_BYTES to force)")
             return None
+        self._log0(
+            f"device_resident={mode}: staging train split in HBM "
+            f"({share / 2**30:.2f} GiB/device, budget {budget / 2**30:.2f} "
+            "GiB)")
         return ResidentTrainData(ds, self.cfg.train.batch_size, self.mesh,
                                  seed=self.cfg.train.seed)
 
@@ -458,7 +476,7 @@ class Trainer:
         if mode == "off" or self.val_loader is None:
             return None
         from ..data.resident import (ResidentEvalData, resident_arrays,
-                                     resident_fits)
+                                     resident_fits, resident_nbytes)
 
         ds = self.val_loader.dataset
         if resident_arrays(ds) is None:
@@ -466,7 +484,14 @@ class Trainer:
         staged = self.resident.nbytes if self.resident is not None else 0
         if mode == "auto" and not resident_fits(ds, self.mesh,
                                                 extra_nbytes=staged):
+            self._log0(
+                "device_resident=auto: val split does not fit beside the "
+                "staged train split -> streaming eval")
             return None
+        d = max(self.mesh.shape.get("data", 1), 1)
+        self._log0(
+            f"device_resident={mode}: staging val split in HBM "
+            f"({resident_nbytes(ds) / d / 2**30:.2f} GiB/device)")
         return ResidentEvalData(ds, self.cfg.train.batch_size, self.mesh)
 
     def init_state(self) -> TrainState:
