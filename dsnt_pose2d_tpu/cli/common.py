@@ -169,6 +169,18 @@ def explicit_cli_args(parser: argparse.ArgumentParser, argv=None) -> set:
             a.default = d
 
 
+def parse_eval_scales(spec) -> tuple:
+    """'0.9,1.0,1.1' -> (0.9, 1.0, 1.1); already-sequence specs pass through."""
+    if isinstance(spec, str):
+        parts = [p for p in spec.replace(";", ",").split(",") if p.strip()]
+        scales = tuple(float(p) for p in parts)
+    else:
+        scales = tuple(float(s) for s in spec)
+    if not scales or any(s <= 0 for s in scales):
+        raise ValueError(f"eval scales must be positive: {spec!r}")
+    return scales
+
+
 def merge_cli_overrides(cfg: Config, args, parser: argparse.ArgumentParser,
                         argv=None) -> Config:
     """Apply explicit CLI data/eval overrides onto a checkpoint-loaded config.
@@ -204,6 +216,8 @@ def merge_cli_overrides(cfg: Config, args, parser: argparse.ArgumentParser,
         train_kw["batch_size"] = args.batch_size
     if getattr(args, "flip_eval", False):
         train_kw["flip_eval"] = True
+    if changed("eval_scales"):
+        train_kw["eval_scales"] = parse_eval_scales(args.eval_scales)
     if train_kw:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **train_kw))

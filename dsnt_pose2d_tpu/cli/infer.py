@@ -26,6 +26,9 @@ def main(argv=None):
                    help="override inference batch size")
     p.add_argument("--flip-eval", action="store_true",
                    help="average predictions with a horizontally-flipped pass")
+    p.add_argument("--eval-scales", default="1.0",
+                   help="comma-separated crop scales to average predictions "
+                        "over (multi-scale eval), e.g. '0.9,1.0,1.1'")
     add_data_args(p)
     add_platform_arg(p)
     args = p.parse_args(argv)

@@ -210,10 +210,10 @@ def affine_warp_shear(canvas: jnp.ndarray, m_out_to_in: jnp.ndarray,
     return jnp.swapaxes(outt, 1, 2)
 
 
-@partial(jax.jit, static_argnames=("out_size", "train", "cfg"))
+@partial(jax.jit, static_argnames=("out_size", "train", "cfg", "eval_scale"))
 def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
                      canvas_from_orig, cfg: DataConfig, out_size: int,
-                     train: bool, canvas_margin=None):
+                     train: bool, canvas_margin=None, eval_scale: float = 1.0):
     """The fused preprocessing graph.
 
     Args:
@@ -226,6 +226,10 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
         cfg: augmentation config (static).
         out_size: model input size (static).
         train: sample augmentations vs deterministic center crop (static).
+        eval_scale: deterministic crop scale for the eval path (static;
+            same semantics as the train-time scale augmentation — larger
+            zooms in). Multi-scale evaluation runs this graph once per
+            scale and averages predictions in original-image space.
 
     Returns dict with normalized ``images`` (B, S, S, 3), ``coords`` (B, J, 2)
     in (-1, 1), ``mask``, ``head_length``, and ``crop_from_orig`` (B, 3, 3)
@@ -251,7 +255,7 @@ def preprocess_batch(key, canvas, coords_px, mask, head_len_px,
         flip = jax.random.bernoulli(k_flip, cfg.flip_prob, (b,))
     else:
         rot = jnp.zeros((b,))
-        scale = jnp.ones((b,))
+        scale = jnp.full((b,), float(eval_scale))
         flip = jnp.zeros((b,), jnp.bool_)
 
     # Canvas -> crop affine: the canvas is a person-centric square holding the

@@ -105,34 +105,63 @@ def make_infer_fn(model: PoseModel, cfg: Config, mesh):
     data_cfg = cfg.data
 
     def infer_step(state: TrainState, batch):
-        pre = preprocess_batch(
-            jax.random.PRNGKey(0), batch["canvases"], batch["coords_px"],
-            batch["mask"], batch["head_length"], batch["canvas_from_orig"],
-            data_cfg, in_size, False,
-            canvas_margin=batch.get("canvas_margin"))
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        out = model.module.apply(variables, pre["images"], train=False)
-        coords_norm = model.decode(out)
-        if cfg.train.flip_eval:
-            from ..data.transforms import flip_permutation
-
-            flipped = jnp.flip(pre["images"], axis=2)
-            out_f = model.module.apply(variables, flipped, train=False)
-            coords_f = model.decode(out_f)
-            perm = flip_permutation(coords_f.shape[-2])
-            coords_f = coords_f.at[..., 0].multiply(-1.0)[..., perm, :]
-            coords_norm = 0.5 * (coords_norm + coords_f)
-        hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
-        from ..data.transforms import invert as _affine_invert
-
-        orig_from_crop = _affine_invert(pre["crop_from_orig"])
-        return transform_coords(orig_from_crop, hm_crop_px)
+        preds = []
+        for s in _eval_scales(cfg):
+            pre = preprocess_batch(
+                jax.random.PRNGKey(0), batch["canvases"], batch["coords_px"],
+                batch["mask"], batch["head_length"], batch["canvas_from_orig"],
+                data_cfg, in_size, False,
+                canvas_margin=batch.get("canvas_margin"), eval_scale=s)
+            _, coords_norm = _decode_averaged(model, cfg, variables,
+                                              pre["images"])
+            preds.append(_to_original_px(coords_norm, pre["crop_from_orig"],
+                                         in_size))
+        return sum(preds) / len(preds)
 
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(infer_step, in_shardings=(repl, bsh), out_shardings=repl)
+
+
+def _eval_scales(cfg: Config) -> tuple:
+    """The multi-scale-evaluation scale set (SURVEY C16), canonical first."""
+    scales = tuple(float(s) for s in (cfg.train.eval_scales or (1.0,)))
+    return scales or (1.0,)
+
+
+def _decode_averaged(model: PoseModel, cfg: Config, variables, images):
+    """Forward + coordinate decode, with optional mirrored-pass averaging.
+
+    Returns ``(out, coords_norm)`` where ``out`` is the UNFLIPPED forward's
+    raw model output (the loss is always scored on the canonical view) and
+    ``coords_norm`` the (possibly flip-averaged) decoded coordinates.
+    """
+    out = model.module.apply(variables, images, train=False)
+    coords_norm = model.decode(out)
+    if cfg.train.flip_eval:
+        # Mirrored second pass (reference evaluate.py option): flip the
+        # image about x, decode, unflip coords (x -> -x is exact under the
+        # symmetric pixel-center grid), swap L/R joints, average.
+        from ..data.transforms import flip_permutation
+
+        flipped = jnp.flip(images, axis=2)
+        out_f = model.module.apply(variables, flipped, train=False)
+        coords_f = model.decode(out_f)
+        perm = flip_permutation(coords_f.shape[-2])
+        coords_f = coords_f.at[..., 0].multiply(-1.0)[..., perm, :]
+        coords_norm = 0.5 * (coords_norm + coords_f)
+    return out, coords_norm
+
+
+def _to_original_px(coords_norm, crop_from_orig, in_size: int):
+    """Map normalized crop-space coords back to ORIGINAL-image pixels."""
+    from ..data.transforms import invert as _affine_invert
+
+    crop_px = normalized_to_crop_px(coords_norm, in_size)
+    return transform_coords(_affine_invert(crop_from_orig), crop_px)
 
 
 def _build_eval_body(model: PoseModel, cfg: Config):
@@ -140,43 +169,45 @@ def _build_eval_body(model: PoseModel, cfg: Config):
     in_size = model.image_specs.size
     data_cfg = cfg.data
 
-    def _preprocess(key, batch, train: bool):
+    def _preprocess(key, batch, train: bool, eval_scale: float = 1.0):
         return preprocess_batch(
             key, batch["canvases"], batch["coords_px"], batch["mask"],
             batch["head_length"], batch["canvas_from_orig"], data_cfg,
-            in_size, train, canvas_margin=batch.get("canvas_margin"))
+            in_size, train, canvas_margin=batch.get("canvas_margin"),
+            eval_scale=eval_scale)
 
     def eval_step(state: TrainState, batch):
-        pre = _preprocess(jax.random.PRNGKey(0), batch, False)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        out = model.module.apply(variables, pre["images"], train=False)
+
+        # Canonical pass (scale 1.0): the eval loss and the ground-truth
+        # mapping are always scored here, whatever eval_scales says.
+        pre = _preprocess(jax.random.PRNGKey(0), batch, False)
+        out, coords_norm = _decode_averaged(model, cfg, variables,
+                                            pre["images"])
         loss, _ = model.loss(out, pre["coords"], pre["mask"])
-        coords_norm = model.decode(out)
+        pred_canonical = _to_original_px(coords_norm, pre["crop_from_orig"],
+                                         in_size)
 
-        if cfg.train.flip_eval:
-            # Mirrored second pass (reference evaluate.py option): flip the
-            # image about x, decode, unflip coords (x -> -x is exact under
-            # the symmetric pixel-center grid), swap L/R joints, average.
-            from ..data.transforms import flip_permutation
+        # Multi-scale averaging (SURVEY C16): each extra scale re-crops,
+        # re-decodes, and maps back to ORIGINAL-image pixels through its own
+        # inverse affine; predictions average in that shared frame.
+        preds = []
+        for s in _eval_scales(cfg):
+            if s == 1.0:
+                preds.append(pred_canonical)
+                continue
+            pre_s = _preprocess(jax.random.PRNGKey(0), batch, False,
+                                eval_scale=s)
+            _, coords_s = _decode_averaged(model, cfg, variables,
+                                           pre_s["images"])
+            preds.append(_to_original_px(coords_s, pre_s["crop_from_orig"],
+                                         in_size))
+        pred_orig = sum(preds) / len(preds)
 
-            flipped = jnp.flip(pre["images"], axis=2)
-            out_f = model.module.apply(variables, flipped, train=False)
-            coords_f = model.decode(out_f)
-            perm = flip_permutation(coords_f.shape[-2])
-            coords_f = coords_f.at[..., 0].multiply(-1.0)[..., perm, :]
-            coords_norm = 0.5 * (coords_norm + coords_f)
-
-        # Map predictions and ground truth to ORIGINAL-image pixels.
-        hm_crop_px = normalized_to_crop_px(coords_norm, in_size)
-        from ..data.transforms import invert as _affine_invert
-
-        orig_from_crop = _affine_invert(pre["crop_from_orig"])
-        pred_orig = transform_coords(orig_from_crop, hm_crop_px)
-        gt_crop_px = normalized_to_crop_px(pre["coords"], in_size)
-        gt_orig = transform_coords(orig_from_crop, gt_crop_px)
-
+        gt_orig = _to_original_px(pre["coords"], pre["crop_from_orig"],
+                                  in_size)
         correct, total = pckh_batch_counts(
             pred_orig, gt_orig, pre["mask"], pre["head_length"])
         return {"loss": loss, "pckh_correct": correct, "pckh_total": total,

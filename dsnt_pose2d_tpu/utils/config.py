@@ -188,6 +188,12 @@ class TrainConfig:
     # Eval-time horizontal-flip averaging (reference evaluate.py option):
     # average decoded coords with the unflipped ones from a mirrored pass.
     flip_eval: bool = False
+    # Eval-time multi-scale averaging (SURVEY C16): decode at each crop
+    # scale (same semantics as the train-time scale augmentation factor —
+    # larger zooms in), map every pass back to ORIGINAL-image pixels and
+    # average there. (1.0,) = single canonical pass (the default).
+    # Composes with flip_eval (the mirrored pass runs per scale).
+    eval_scales: tuple = (1.0,)
     # Optimizer steps per host dispatch (lax.scan over a stacked super-batch);
     # >1 amortizes host/transport latency. Numerics identical to 1.
     steps_per_dispatch: int = 1

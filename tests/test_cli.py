@@ -149,6 +149,30 @@ def test_merge_cli_overrides_explicit_default_and_source_reset():
     assert merged.data.source == "h5"
 
 
+def test_eval_scales_flag_merges():
+    from dsnt_pose2d_tpu.cli.common import (add_data_args,
+                                            merge_cli_overrides,
+                                            parse_eval_scales)
+    from dsnt_pose2d_tpu.utils.config import Config
+
+    assert parse_eval_scales("0.9,1.0,1.1") == (0.9, 1.0, 1.1)
+    assert parse_eval_scales((0.8, 1.2)) == (0.8, 1.2)
+    with pytest.raises(ValueError):
+        parse_eval_scales("0,-1")
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--flip-eval", action="store_true")
+    p.add_argument("--eval-scales", default="1.0")
+    add_data_args(p)
+    argv = ["--eval-scales", "0.9,1.0,1.1"]
+    merged = merge_cli_overrides(Config(), p.parse_args(argv), p, argv)
+    assert merged.train.eval_scales == (0.9, 1.0, 1.1)
+    # Not passed -> checkpoint value survives.
+    merged = merge_cli_overrides(Config(), p.parse_args([]), p, [])
+    assert merged.train.eval_scales == (1.0,)
+
+
 def test_hm_threshold_flag():
     cfg = config_from_args(_parse(["--preact", "thresholded_softmax",
                                    "--hm-threshold", "0.5"]))

@@ -228,6 +228,40 @@ def test_flip_eval_consistency():
     assert float(out["pckh_total"].sum()) > 0
 
 
+def test_multi_scale_eval():
+    # SURVEY C16 multi-scale averaging: (1.0,) must be bit-identical to the
+    # default single pass; duplicate scales average identical predictions
+    # (still identical up to the sum/len arithmetic); a real scale set runs,
+    # stays finite, and leaves the loss (always canonical-pass) unchanged.
+    import dataclasses
+
+    cfg = tiny_config()
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
+    batch = shard_batch(mesh, make_synthetic_mpii(8, canvas_size=48, seed=7))
+
+    def run(scales):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, eval_scales=scales))
+        _, eval_step = make_step_fns(model, c, mesh)
+        return jax.device_get(eval_step(state, batch))
+
+    base = run((1.0,))
+    dup = run((1.0, 1.0))
+    multi = run((0.9, 1.0, 1.1))
+
+    np.testing.assert_array_equal(base["pred_orig"], dup["pred_orig"])
+    assert float(base["loss"]) == float(multi["loss"])  # canonical-pass loss
+    assert np.all(np.isfinite(multi["pred_orig"]))
+    assert not np.array_equal(base["pred_orig"], multi["pred_orig"])
+    # The scaled crops look at the same person: averaged predictions stay in
+    # the same neighborhood as the canonical ones (canvas px, generous bound).
+    assert float(np.median(np.abs(multi["pred_orig"] - base["pred_orig"]))) < 24
+
+
 def test_multi_step_matches_sequential():
     import dataclasses
 
