@@ -1,0 +1,50 @@
+"""Time the DRIVER-DEFAULT dryrun invocation, cold-cache, in CI.
+
+Round 3's one red artifact (MULTICHIP_r03 rc=124) shipped because CI only
+ever ran ``dryrun_multichip(8, scale="tiny")`` while the driver runs
+``dryrun_multichip(8)`` — the flagship default's XLA:CPU compile had never
+been timed before shipping.  This test closes that gap: it runs the exact
+driver invocation in a subprocess with a FRESH compilation-cache dir (the
+driver host never shares our cache) and asserts it completes inside the
+budget, with the per-stage progress lines present so a driver timeout can
+never again produce an empty tail.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Measured 2026-08-19 on the 1-core CI/driver-class host: 260s cold
+# (mesh 4s / state 26s / scan-dispatch compile 113s / eval 18s / resident
+# eval 20s / resident scan compile 83s).  The assertion leaves ~2x headroom
+# to absorb host jitter while staying below the driver's observed >540s kill
+# budget; if this test starts failing, the DRYRUN SCALE must shrink — do not
+# raise the number past the driver budget.
+BUDGET_S = 520
+
+
+@pytest.mark.slow
+def test_driver_default_dryrun_completes_cold(tmp_path):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        DSNT_COMPILE_CACHE_DIR=str(tmp_path / "cold_xla_cache"),
+    )
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=BUDGET_S + 60)
+    wall = time.time() - t0
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert wall < BUDGET_S, f"driver-default dryrun took {wall:.0f}s cold"
+    # Per-stage progress lines: a driver-side timeout must leave evidence.
+    assert r.stdout.count("[dryrun +") >= 5, r.stdout
+    assert "ok —" in r.stdout or "ok —" in r.stdout

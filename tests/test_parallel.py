@@ -91,8 +91,9 @@ def test_eval_psum_counts_match_single_device():
 
 
 def test_dryrun_multichip_entrypoint():
-    # Tiny scale keeps the suite fast; the driver runs the default
-    # "flagship" scale (hg8 + scan + Trainer-level eval) out of process.
+    # Tiny scale keeps the suite fast; the DRIVER-DEFAULT flagship scale
+    # is timed cold-cache by tests/test_dryrun_budget.py (the round-3
+    # regression was exactly this tiny/flagship CI gap).
     import importlib.util, os
 
     spec = importlib.util.spec_from_file_location(
