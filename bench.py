@@ -24,6 +24,7 @@ sees.
 
 Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_REPEATS, BENCH_SKIP_E2E,
 BENCH_E2E_STEPS_PER_DISPATCH, BENCH_PEAK_FLOPS (default 197e12, v5e bf16),
+BENCH_MFU_CEILING (default 0.60 — repeats implying more are re-measured),
 BENCH_FIXTURE_DIR.
 """
 
@@ -163,10 +164,17 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
         return time.time() - t0
 
-    # A marginal time implying more FLOP/s than the chip's peak is a
-    # measurement artifact (tunnel jitter between the two windows), not a
-    # speedup — drop it and re-measure, up to 2x the repeat budget.
-    floor = flops / PEAK_FLOPS if flops else 0.0
+    # A marginal time implying an implausible MFU is a measurement artifact
+    # (tunnel jitter between the two windows), not a speedup — drop it and
+    # re-measure, up to 2x the repeat budget.  Round 3 shipped an 881 img/s
+    # outlier implying 75% MFU on a workload whose profiler trace ceiling is
+    # ~48% (98.3% device-busy at 43.6% median MFU, DESIGN.md §8) — physically
+    # impossible for this conv-bound graph, so the filter is an MFU ceiling,
+    # not the chip's absolute peak.  Default 0.60 leaves real headroom above
+    # the measured 43.6% for genuine kernel improvements; override with
+    # BENCH_MFU_CEILING if the conv core ever beats it legitimately.
+    mfu_ceiling = float(os.environ.get("BENCH_MFU_CEILING", "0.60"))
+    floor = flops / (PEAK_FLOPS * mfu_ceiling) if flops else 0.0
     per_step, rejected = [], []
     attempts = 0
     while len(per_step) < repeats and attempts < 2 * repeats:
@@ -203,6 +211,8 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         "tflops_per_step": round(flops / 1e12, 3),
         "implied_mfu": round(flops / med_t / PEAK_FLOPS, 4) if flops else 0.0,
         "repeats": len(per_step),
+        "rejected_outliers": len(rejected),
+        "mfu_ceiling": mfu_ceiling,
     }
     if suspect:
         out["all_repeats_rejected"] = True
