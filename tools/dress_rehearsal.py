@@ -70,33 +70,59 @@ def _make_person(rng, img_w, img_h):
     }
 
 
-def _render(rng, persons, img_w, img_h):
-    img = rng.uniform(0.0, 0.25, size=(img_h, img_w, 3)).astype(np.float32)
+def _splat(img, x, y, sigma, color):
+    img_h, img_w = img.shape[:2]
+    r = int(3 * sigma)
+    xi, yi = int(round(x)), int(round(y))
+    x0, x1 = max(xi - r, 0), min(xi + r + 1, img_w)
+    y0, y1 = max(yi - r, 0), min(yi + r + 1, img_h)
+    if x0 >= x1 or y0 >= y1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    blob = np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * sigma ** 2))
+    img[y0:y1, x0:x1] = np.clip(
+        img[y0:y1, x0:x1] + blob[..., None] * color, 0.0, 1.0)
+
+
+def _render(rng, persons, img_w, img_h, hard: bool = False):
+    """Paint joints as colored Gaussians; ``hard`` makes localization earn
+    its PCKh instead of saturating (round-3 verdict item 4):
+
+    - blobs are ~2.5x smaller and dimmer (0.7x amplitude) on a noisier,
+      higher-amplitude textured background — pixel evidence is weak;
+    - every visible joint ALSO spawns 1-2 SAME-COLOR distractor blobs at
+      0.5x amplitude placed anywhere in the image, so raw per-color heatmap
+      responses are multimodal.  An unregularized DSNT expectation is pulled
+      toward the spurious mode; a distribution regularizer (JS/KL toward a
+      compact Gaussian at the true location) suppresses it — exactly the
+      mechanism the paper's regularizer table measures.
+    """
+    bg_hi, tex, amp = (0.35, 0.12, 0.7) if hard else (0.25, 0.08, 1.0)
+    img = rng.uniform(0.0, bg_hi, size=(img_h, img_w, 3)).astype(np.float32)
     # Low-frequency texture so JPEGs are not flat noise.
     gy = np.linspace(0, np.pi * rng.uniform(1, 4), img_h, dtype=np.float32)
     gx = np.linspace(0, np.pi * rng.uniform(1, 4), img_w, dtype=np.float32)
-    img += 0.08 * (np.sin(gy)[:, None] * np.cos(gx)[None, :])[..., None]
+    img += tex * (np.sin(gy)[:, None] * np.cos(gx)[None, :])[..., None]
     for p in persons:
-        sigma = max(200.0 * p["scale"] * 0.035, 2.0)
-        r = int(3 * sigma)
+        sigma_frac = 0.014 if hard else 0.035
+        sigma = max(200.0 * p["scale"] * sigma_frac, 2.0)
         for j in range(NUM_JOINTS):
             if p["visible"][j] == 0:
                 continue
             x, y = p["pts"][j]
-            xi, yi = int(round(x)), int(round(y))
-            x0, x1 = max(xi - r, 0), min(xi + r + 1, img_w)
-            y0, y1 = max(yi - r, 0), min(yi + r + 1, img_h)
-            if x0 >= x1 or y0 >= y1:
-                continue
-            yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
-            blob = np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * sigma ** 2))
-            img[y0:y1, x0:x1] = np.clip(
-                img[y0:y1, x0:x1] + blob[..., None] * _PALETTE[j], 0.0, 1.0)
+            _splat(img, x, y, sigma, amp * _PALETTE[j])
+            if hard:
+                for _ in range(int(rng.integers(1, 3))):
+                    _splat(img, rng.uniform(0, img_w), rng.uniform(0, img_h),
+                           sigma, 0.5 * amp * _PALETTE[j])
+    if hard:  # sensor-style noise on top of everything
+        img += rng.normal(0.0, 0.03, size=img.shape).astype(np.float32)
+        img = np.clip(img, 0.0, 1.0)
     return (img * 255).astype(np.uint8)
 
 
 def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
-              val_frac: float = 0.12) -> dict:
+              val_frac: float = 0.12, hard: bool = False) -> dict:
     """Images + release-layout .mat + Tompson-style val list."""
     from PIL import Image
 
@@ -112,7 +138,7 @@ def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
         persons = [_make_person(rng, img_w, img_h) for _ in range(n_persons)]
         name = f"dress_{i:06d}.jpg"
         is_train = rng.uniform() >= test_frac
-        img = _render(rng, persons, img_w, img_h)
+        img = _render(rng, persons, img_w, img_h, hard=hard)
         Image.fromarray(img).save(os.path.join(img_dir, name), quality=90)
 
         rects = []
@@ -151,8 +177,8 @@ def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
     val_list = os.path.join(root, "val_list.txt")
     with open(val_list, "w") as f:
         f.write("\n".join(val_lines) + "\n")
-    return {"images": n_images, "mat": mat_path, "val_list": val_list,
-            "val_persons": len(val_lines),
+    return {"images": n_images, "hard": hard, "mat": mat_path,
+            "val_list": val_list, "val_persons": len(val_lines),
             "fabricate_s": round(time.time() - t0, 1)}
 
 
@@ -235,6 +261,9 @@ def main():
     p = argparse.ArgumentParser(__doc__)
     p.add_argument("--root", default="/tmp/dress_rehearsal")
     p.add_argument("--n-images", type=int, default=5000)
+    p.add_argument("--hard", action="store_true",
+                   help="non-saturating variant: small dim blobs + same-color"
+                        " distractors + noise (for the regularizer ablation)")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--stages", default="all",
@@ -256,7 +285,7 @@ def main():
 
     if "fabricate" in stages:
         print("== fabricate ==", flush=True)
-        report.update(fabricate(args.root, args.n_images))
+        report.update(fabricate(args.root, args.n_images, hard=args.hard))
         save()
     if "prepare" in stages:
         print("== prepare ==", flush=True)
