@@ -256,7 +256,8 @@ def _ensure_e2e_fixture(n: int, canvas: int = 384) -> str:
 def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
                 use_pallas: bool = True, base: str = "hg8",
                 steps_per_dispatch: int = 1, workers: int = 4,
-                resident: bool = False) -> dict:
+                resident: bool = False, canvas: int = 384,
+                prefetch_depth: int = 2) -> dict:
     """End-to-end epoch throughput over the real input path.
 
     ``resident=False``: mmap read -> collate -> H2D -> step (streaming; the
@@ -281,7 +282,7 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
 
     enable_compilation_cache()
     n = batch * epoch_steps
-    fixture = _ensure_e2e_fixture(n)
+    fixture = _ensure_e2e_fixture(n, canvas=canvas)
     ds = PackedDataset(fixture, "train")
     cfg = _flagship_config(batch, use_pallas, False, base, steps_per_dispatch,
                            "")
@@ -325,7 +326,7 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
         train_step, _ = make_step_fns(model, cfg, mesh)
         multi = make_multi_step(model, cfg, mesh) if k > 1 else None
         loader = ShardedLoader(ds, batch, shuffle=True, seed=0,
-                               workers=workers)
+                               workers=workers, prefetch=prefetch_depth)
 
         def run_epoch(epoch: int):
             nonlocal state
@@ -360,6 +361,7 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
         "steps_per_dispatch": k,
         "epoch_steps": epoch_steps,
         "resident": resident,
+        "canvas": canvas,
     }
     if not resident:
         # Loader threads only exist on the streaming path; the resident path

@@ -100,6 +100,9 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="stage the packed train split in device HBM and "
                         "gather batches on device (zero per-step H2D); "
                         "auto = when it fits the per-device budget")
+    g.add_argument("--no-auto-pack", action="store_true",
+                   help="disable pack-as-you-stream (epoch 0 writing the "
+                        "packed archive while streaming a raw MPII layout)")
 
 
 def add_train_args(p: argparse.ArgumentParser):
@@ -136,7 +139,8 @@ def config_from_args(args) -> Config:
         warp_method=getattr(args, "warp_method", "shear"),
         workers=getattr(args, "workers", 1),
         pretrained_resnet=getattr(args, "pretrained_resnet", ""),
-        device_resident=getattr(args, "device_resident", "auto"))
+        device_resident=getattr(args, "device_resident", "auto"),
+        auto_pack=not getattr(args, "no_auto_pack", False))
     optim = OptimConfig(lr=args.lr, optimizer=args.optimizer,
                         schedule=getattr(args, "schedule", "step"))
     train = TrainConfig(

@@ -101,6 +101,91 @@ class PackedDataset:
         }
 
 
+class AutoPackDataset:
+    """Pack-as-you-stream: capture every decoded sample into a packed archive.
+
+    Fresh runs on a raw MPII layout pay the JPEG-decode streaming path (tens
+    of img/s on a small host) for EVERY epoch unless the user remembers to
+    run ``data.pack`` first.  This wrapper makes epoch 0 itself the pack
+    pass: each ``__getitem__`` both returns the sample and writes it into an
+    under-construction mmap archive (``*.building`` files, atomically
+    renamed on :meth:`finalize`), so the trainer can hot-swap to the
+    :class:`PackedDataset` — and, per ``device_resident``, into HBM
+    residency — from epoch 1 on.
+
+    Thread-safety: loader fetch threads write DISTINCT rows (same-row
+    double-writes from tail padding are idempotent), and ``done`` is a
+    per-row byte flag — no locking needed.
+    """
+
+    def __init__(self, inner, out_dir: str, subset: str = "train"):
+        self.inner = inner
+        self.out_dir = out_dir
+        self.subset = subset
+        os.makedirs(out_dir, exist_ok=True)
+        n = len(inner)
+        cs = int(inner.canvas_size)
+        self._canvas_path = os.path.join(out_dir,
+                                         CANVAS_FILE.format(subset=subset))
+        self._meta_path = os.path.join(out_dir,
+                                       META_FILE.format(subset=subset))
+        self.canvases = np.lib.format.open_memmap(
+            self._canvas_path + ".building", mode="w+", dtype=np.uint8,
+            shape=(n, cs, cs, 3))
+        self.coords = np.zeros((n, 16, 2), np.float32)
+        self.mask = np.zeros((n, 16), np.float32)
+        self.head = np.zeros((n,), np.float32)
+        self.affines = np.zeros((n, 3, 3), np.float32)
+        self.margins = np.zeros((n,), np.float32)
+        self.done = np.zeros(n, np.uint8)
+
+    # Split provenance must keep flowing through the wrapper (PCKh tables
+    # stamp it — see cli.common.dataset_split_method).
+    @property
+    def annot(self):
+        return getattr(self.inner, "annot", None)
+
+    @property
+    def split_method(self) -> str:
+        return getattr(self.inner, "split_method", "")
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, i: int) -> dict:
+        s = self.inner[i]
+        if not self.done[i]:
+            self.canvases[i] = s["canvases"]
+            self.coords[i] = s["coords_px"]
+            self.mask[i] = s["mask"]
+            self.head[i] = s["head_length"]
+            self.affines[i] = s["canvas_from_orig"]
+            self.margins[i] = s["canvas_margin"]
+            self.done[i] = 1
+        return s
+
+    def finalize(self) -> str:
+        """Fill rows the epoch never touched (drop_last tails), publish.
+
+        Returns the packed directory, ready for :class:`PackedDataset`.
+        """
+        for i in np.flatnonzero(self.done == 0):
+            self[int(i)]
+        self.canvases.flush()
+        annot = getattr(self.inner, "annot", None)
+        split_method = (getattr(self.inner, "split_method", "")
+                        or getattr(annot, "split_method", "") or "")
+        np.savez(self._meta_path + ".building", coords_px=self.coords,
+                 mask=self.mask, head_length=self.head,
+                 canvas_from_orig=self.affines, canvas_margin=self.margins,
+                 split_method=np.array(split_method))
+        # np.savez appends .npz to a bare path; normalize before the rename.
+        built_meta = self._meta_path + ".building.npz"
+        os.rename(built_meta, self._meta_path)
+        os.rename(self._canvas_path + ".building", self._canvas_path)
+        return self.out_dir
+
+
 def packed_available(data_dir: str, subset: str) -> bool:
     p = os.path.join(data_dir, "packed")
     return (os.path.exists(os.path.join(p, CANVAS_FILE.format(subset=subset)))

@@ -435,6 +435,7 @@ class Trainer:
     hooks: tuple = ()
 
     def __post_init__(self):
+        self._autopack = self._maybe_autopack()
         self.resident = self._maybe_resident()
         spe = max((self.resident or self.train_loader).steps_per_epoch, 1)
         self.train_step, self.eval_step = make_step_fns(
@@ -459,6 +460,70 @@ class Trainer:
     def _log0(self, msg: str):
         if jax.process_index() == 0:
             print(msg, flush=True)
+
+    def _maybe_autopack(self):
+        """Install pack-as-you-stream on a decode-backed train split.
+
+        Epoch 0 then doubles as the pack pass (see data.pack.AutoPackDataset);
+        the epoch boundary publishes the archive and ``_swap_to_packed``
+        hot-swaps the loader (and residency).  Single-host only: the archive
+        files would collide across hosts, and a host only streams its 1/N
+        slice anyway.
+        """
+        if not getattr(self.cfg.data, "auto_pack", True):
+            return None
+        if jax.process_count() != 1:
+            return None
+        ds = self.train_loader.dataset
+        # Duck-typed: only a decode-backed MPII split (images_dir +
+        # canvas_size) needs packing; packed/array-backed sources don't.
+        if not (hasattr(ds, "images_dir") and hasattr(ds, "canvas_size")):
+            return None
+        import os
+
+        from ..data.pack import AutoPackDataset
+
+        out_dir = os.path.join(getattr(self.cfg.data, "data_dir", "."),
+                               "packed")
+        ap = AutoPackDataset(ds, out_dir,
+                             subset=getattr(ds, "subset", "train"))
+        self.train_loader.dataset = ap
+        self._log0(f"auto_pack: epoch 0 streams {len(ds)} samples AND writes "
+                   f"the packed archive -> {out_dir} (switching to the mmap "
+                   "reader at the epoch boundary; --no-auto-pack disables)")
+        return ap
+
+    def _swap_to_packed(self, epoch: int):
+        """Publish the auto-packed archive and hot-swap the train input path.
+
+        Residency is re-evaluated exactly as at construction, so with
+        ``device_resident`` auto/on the swap goes straight to the HBM-staged
+        gather path (one extra jit at the next dispatch).  steps_per_epoch is
+        unchanged (same samples, same batch), so the LR schedule and the
+        mid-epoch checkpoint cadence are unaffected.
+        """
+        from ..data.loader import ShardedLoader
+        from ..data.pack import PackedDataset
+
+        packed_dir = self._autopack.finalize()
+        self._autopack = None
+        old = self.train_loader
+        ds = PackedDataset(packed_dir, "train")
+        self.train_loader = ShardedLoader(
+            ds, old.global_batch_size, shuffle=old.shuffle, seed=old.seed,
+            num_hosts=old.num_hosts, host_id=old.host_id,
+            drop_last=old.drop_last, prefetch=old.prefetch,
+            workers=old.workers)
+        self._log0(f"auto_pack: published {packed_dir} after epoch {epoch}; "
+                   "train input is now the mmap-packed reader")
+        self.resident = self._maybe_resident()
+        if self.resident is not None:
+            spe = max(self.resident.steps_per_epoch, 1)
+            self.resident_step = make_resident_step(
+                self.model, self.cfg, self.mesh, spe)
+            if self.cfg.train.steps_per_dispatch > 1:
+                self.resident_multi = make_resident_multi_step(
+                    self.model, self.cfg, self.mesh, spe)
 
     def _maybe_resident(self):
         """Stage the train split in HBM when configured (and it fits)."""
@@ -692,6 +757,11 @@ class Trainer:
                                        metrics=summary)
             for hook in self.hooks:
                 hook(epoch, state, summary)
+            if self._autopack is not None:
+                # finalize() fills any rows this epoch never fetched
+                # (drop_last tail, or a mid-epoch resume), so one streamed
+                # epoch — complete or not — is always enough to publish.
+                self._swap_to_packed(epoch)
         if self.checkpointer:
             self.checkpointer.wait()
         return state, best_pckh

@@ -161,6 +161,14 @@ class DataConfig:
     # fits the HBM budget (full MPII@384px is ~11 GB across one v5e chip);
     # 'off' keeps the reference's global-shuffle streaming semantics.
     device_resident: str = "auto"  # 'auto' | 'on' | 'off'
+    # Pack-as-you-stream: when the train split is decode-backed (raw
+    # MPIIDataset — no packed archive yet) in a single-host run, epoch 0
+    # writes every decoded canvas into the packed-archive layout as a side
+    # effect of streaming; at the epoch boundary the archive is atomically
+    # published and the trainer hot-swaps to the mmap reader (and, per
+    # device_resident, into HBM residency).  Fresh runs thus converge to
+    # resident-path speed from epoch 1 without a manual data.pack step.
+    auto_pack: bool = True
 
     def __post_init__(self):
         if self.device_resident not in ("auto", "on", "off"):

@@ -82,3 +82,82 @@ def test_pack_propagates_split_method(mini_mpii, tmp_path):
     assert dataset_split_method(packed) == "hash-holdout:10%"
     assert dataset_split_method(MPIIDataset(mini_mpii, "train",
                                             canvas_size=64)) == "hash-holdout:10%"
+
+
+def test_autopack_captures_then_publishes(mini_mpii, tmp_path):
+    """Pack-as-you-stream: streaming an epoch writes the archive as a side
+    effect; finalize() fills the drop_last tail and atomically publishes an
+    archive byte-identical to a pack_split one."""
+    import os
+
+    from dsnt_pose2d_tpu.data import ShardedLoader
+    from dsnt_pose2d_tpu.data.pack import CANVAS_FILE, AutoPackDataset
+
+    raw = MPIIDataset(mini_mpii, "train", canvas_size=64)
+    out = str(tmp_path / "packed")
+    ap = AutoPackDataset(raw, out, subset="train")
+    assert len(ap) == len(raw)
+    # One drop_last epoch at batch 4 sees only 4 of the 6 samples.
+    loader = ShardedLoader(ap, 4, shuffle=True, seed=0, workers=2)
+    assert len(list(loader.epoch(0))) == 1
+    # Until finalize, only .building files exist (no half-built archive can
+    # ever be mistaken for a published one).
+    final_canvas = os.path.join(out, CANVAS_FILE.format(subset="train"))
+    assert not os.path.exists(final_canvas)
+    assert os.path.exists(final_canvas + ".building")
+    assert ap.finalize() == out
+    assert os.path.exists(final_canvas)
+
+    packed = PackedDataset(out, "train")
+    for i in range(6):
+        a, b = packed[i], raw[i]
+        np.testing.assert_array_equal(a["canvases"], b["canvases"])
+        np.testing.assert_allclose(a["coords_px"], b["coords_px"], atol=1e-5)
+    # Provenance flows through the wrapper and into the archive.
+    from dsnt_pose2d_tpu.cli.common import dataset_split_method
+
+    assert dataset_split_method(packed) == dataset_split_method(raw)
+
+
+@pytest.mark.slow
+def test_trainer_autopack_swaps_to_resident(mini_mpii, tmp_path):
+    """End-to-end: a Trainer fed the decode-backed MPIIDataset streams epoch
+    0, publishes the packed archive at the boundary, and runs epoch 1 on the
+    HBM-resident gather path (device_resident=auto on a tiny split)."""
+    import shutil
+
+    import jax
+
+    from dsnt_pose2d_tpu.data import ShardedLoader
+    from dsnt_pose2d_tpu.data.pack import PackedDataset as PD
+    from dsnt_pose2d_tpu.models.factory import build_pose_model
+    from dsnt_pose2d_tpu.parallel.mesh import make_mesh
+    from dsnt_pose2d_tpu.train.loop import Trainer
+    from dsnt_pose2d_tpu.utils.config import (Config, DataConfig, ModelConfig,
+                                              OptimConfig, TrainConfig)
+
+    root = str(tmp_path / "mpii")
+    shutil.copytree(mini_mpii, root, ignore=shutil.ignore_patterns("packed"))
+    cfg = Config(
+        model=ModelConfig(base="hg1", output_strat="dsnt", reg="js",
+                          hg_features=8, hg_depth=1, input_size=32,
+                          dtype="float32", use_pallas=False),
+        optim=OptimConfig(lr=1e-3, schedule="constant"),
+        data=DataConfig(data_dir=root, canvas_size=64, color_jitter=0.0,
+                        device_resident="auto"),
+        train=TrainConfig(batch_size=4, epochs=2, seed=0, donate=False,
+                          log_every_steps=100),
+    )
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    ds = MPIIDataset(root, "train", canvas_size=64)
+    trainer = Trainer(model=model, cfg=cfg, mesh=mesh,
+                      train_loader=ShardedLoader(ds, 4, shuffle=True, seed=0))
+    assert trainer._autopack is not None          # wrapper installed
+    assert trainer.resident is None               # epoch 0 streams
+    state, _ = trainer.run()
+    jax.block_until_ready(state.params)
+    assert packed_available(root, "train")        # archive published
+    assert isinstance(trainer.train_loader.dataset, PD)
+    assert trainer.resident is not None           # epoch 1 ran resident
+    assert trainer._autopack is None

@@ -90,12 +90,17 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
 
     - blobs are ~2.5x smaller and dimmer (0.7x amplitude) on a noisier,
       higher-amplitude textured background — pixel evidence is weak;
-    - every visible joint ALSO spawns 1-2 SAME-COLOR distractor blobs at
-      0.5x amplitude placed anywhere in the image, so raw per-color heatmap
-      responses are multimodal.  An unregularized DSNT expectation is pulled
-      toward the spurious mode; a distribution regularizer (JS/KL toward a
-      compact Gaussian at the true location) suppresses it — exactly the
-      mechanism the paper's regularizer table measures.
+    - every visible joint ALSO spawns 2-3 SAME-COLOR distractor blobs at
+      MATCHED brightness placed INSIDE the person box, so per-color pixel
+      evidence alone is genuinely ambiguous — only skeleton context (where
+      joint j sits relative to the figure) identifies the true mode.  (A
+      first cut used dim out-of-crop distractors; resnet34 still hit 99.07
+      PCKh in 15 epochs — brightness was a trivial discriminator.)  Raw
+      per-color heatmap responses are multimodal; an unregularized DSNT
+      expectation is pulled toward spurious modes, while a distribution
+      regularizer (JS/KL toward a compact unimodal Gaussian) forces the
+      model to commit to one — the mechanism the paper's regularizer table
+      measures.
     """
     bg_hi, tex, amp = (0.35, 0.12, 0.7) if hard else (0.25, 0.08, 1.0)
     img = rng.uniform(0.0, bg_hi, size=(img_h, img_w, 3)).astype(np.float32)
@@ -106,15 +111,26 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
     for p in persons:
         sigma_frac = 0.014 if hard else 0.035
         sigma = max(200.0 * p["scale"] * sigma_frac, 2.0)
+        box = 200.0 * p["scale"]
+        cx, cy = p["center"]
         for j in range(NUM_JOINTS):
             if p["visible"][j] == 0:
                 continue
             x, y = p["pts"][j]
             _splat(img, x, y, sigma, amp * _PALETTE[j])
             if hard:
-                for _ in range(int(rng.integers(1, 3))):
-                    _splat(img, rng.uniform(0, img_w), rng.uniform(0, img_h),
-                           sigma, 0.5 * amp * _PALETTE[j])
+                for _ in range(int(rng.integers(2, 4))):
+                    # In-crop, brightness-matched: land within the person
+                    # box but at least 4 sigma from the true joint so the
+                    # GT mode stays well-defined.
+                    for _try in range(8):
+                        dx = rng.uniform(-0.55, 0.55) * box
+                        dy = rng.uniform(-0.55, 0.55) * box
+                        if (dx - (x - cx)) ** 2 + (dy - (y - cy)) ** 2 \
+                                >= (4 * sigma) ** 2:
+                            break
+                    _splat(img, cx + dx, cy + dy, sigma,
+                           rng.uniform(0.85, 1.0) * amp * _PALETTE[j])
     if hard:  # sensor-style noise on top of everything
         img += rng.normal(0.0, 0.03, size=img.shape).astype(np.float32)
         img = np.clip(img, 0.0, 1.0)

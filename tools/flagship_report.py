@@ -1,0 +1,102 @@
+"""Flagship multi-epoch training artifact: hg8 + DSNT + JS on the rehearsal
+fixture (round-3 verdict item 3).
+
+Runs BASELINE config #3's model (8-stack hourglass, DSNT head, JS
+regularizer, bf16 backbone, fused Pallas head) for a real multi-epoch
+training on the 5k dress-rehearsal fixture over the device-resident path
+(steps_per_dispatch >= 4), evaluates, and writes docs/flagship_hg8_report.json
+with the PCKh table, per-epoch throughput, and the steady-state e2e ratio
+against the same-session device-step bench.
+
+Usage (after tools/dress_rehearsal.py --stages fabricate,prepare,pack):
+
+    python tools/flagship_report.py --data-dir /tmp/dress_rehearsal \
+        --epochs 60 [--skip-device-bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from _ablation_common import train_and_eval  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser(__doc__)
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--steps-per-dispatch", type=int, default=4)
+    ap.add_argument("--out-dir", default="")
+    ap.add_argument("--skip-device-bench", action="store_true")
+    ap.add_argument("--report", default=os.path.join(
+        REPO, "docs", "flagship_hg8_report.json"))
+    args = ap.parse_args()
+    out_root = args.out_dir or os.path.join(args.data_dir, "flagship")
+
+    r = train_and_eval(
+        args.data_dir, out_root, "hg8_dsnt_js",
+        ["--base-model", "hg8", "--output-strat", "dsnt", "--reg", "js",
+         "--reg-coeff", "1.0", "--hm-sigma", "1.0", "--dtype", "bfloat16",
+         "--batch-size", str(args.batch_size),
+         "--steps-per-dispatch", str(args.steps_per_dispatch),
+         "--epochs", str(args.epochs)])
+
+    # Per-epoch throughput + PCKh curve from the run's own metrics stream.
+    per_epoch = []
+    metrics_file = os.path.join(out_root, "hg8_dsnt_js", "metrics.jsonl")
+    with open(metrics_file) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "images_per_sec" in rec:
+                per_epoch.append({
+                    "epoch": rec["epoch"],
+                    "img_s": round(rec["images_per_sec"], 1),
+                    "train_loss": round(rec.get("train_loss", 0.0), 5),
+                    "val_pckh": round(rec["val_pckh"], 4)
+                    if "val_pckh" in rec else None,
+                })
+    # Steady state excludes epoch 0 (compile + HBM staging) and epoch 1
+    # (any autopack/residency switch).
+    steady = [e["img_s"] for e in per_epoch[2:]] or [0.0]
+    report = {
+        "config": {"base": "hg8", "output_strat": "dsnt", "reg": "js",
+                   "dtype": "bfloat16", "batch_size": args.batch_size,
+                   "steps_per_dispatch": args.steps_per_dispatch,
+                   "epochs": args.epochs, "data_dir": args.data_dir},
+        "pckh_total": r["pckh_total"],
+        "pckh_table": r.get("table"),
+        "train_s": r["train_s"],
+        "per_epoch": per_epoch,
+        "steady_state_img_s_median": round(statistics.median(steady), 1),
+    }
+
+    if not args.skip_device_bench:
+        # Same-session device-step bench at the SAME batch/k, so the e2e
+        # ratio compares like with like (tunnel conditions drift by the
+        # hour; a cross-session ratio is not a measurement).
+        from bench import measure_tpu
+
+        dev = measure_tpu(batch=args.batch_size, repeats=3,
+                          steps_per_dispatch=args.steps_per_dispatch)
+        report["device_step_img_s"] = dev["median"]
+        report["steady_state_vs_device_step_pct"] = round(
+            100.0 * report["steady_state_img_s_median"] / dev["median"], 1)
+
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("pckh_table", "per_epoch")}, indent=1))
+    print(f"wrote {args.report}")
+
+
+if __name__ == "__main__":
+    main()
