@@ -58,6 +58,7 @@ def _torch_resnet18():
     return Net()
 
 
+@pytest.mark.slow
 def test_import_resnet18_numerics():
     torch.manual_seed(0)
     tnet = _torch_resnet18().eval()
@@ -168,6 +169,7 @@ def _torch_resnet50(dilated_stages=0):
     return Net()
 
 
+@pytest.mark.slow
 def test_import_dilated_resnet50_numerics():
     # The dilate>0 path (paper heatmap-resolution ablation, SURVEY C7) with
     # imported weights: flax dilated trunk == torch dilated trunk, including

@@ -52,6 +52,7 @@ def test_batch_is_sharded_over_devices():
     assert shard_shapes == {(1, 32, 32, 3)}
 
 
+@pytest.mark.slow
 def test_train_step_equivalent_1_vs_8_devices():
     # The DP code path must be a pure config change: same data, same seed,
     # same initial params => same loss on mesh(1) and mesh(8).
@@ -90,6 +91,7 @@ def test_eval_psum_counts_match_single_device():
     np.testing.assert_allclose(counts[1][0], counts[8][0])
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     # Tiny scale keeps the suite fast; the DRIVER-DEFAULT flagship scale
     # is timed cold-cache by tests/test_dryrun_budget.py (the round-3

@@ -421,6 +421,7 @@ class _BombWriter:
         pass
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_bit_exact(tmp_path):
     # SURVEY section 5 checkpoint plan ("store the loader state"): train k
     # steps, die mid-epoch, resume from the step checkpoint, and match the

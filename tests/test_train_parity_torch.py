@@ -81,6 +81,7 @@ def _torch_loss(model, x, t, mask):
     return total
 
 
+@pytest.mark.slow
 def test_train_step_parity_fp64():
     import jax.numpy as jnp
     import optax
