@@ -121,6 +121,9 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="resume from the latest checkpoint in out-dir")
     g.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="optimizer steps per host dispatch (lax.scan)")
+    g.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel width: size of the mesh 'model' "
+                        "axis (devices = data x model; 1 = pure DP)")
 
 
 def config_from_args(args) -> Config:
@@ -146,7 +149,8 @@ def config_from_args(args) -> Config:
     train = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         out_dir=args.out_dir, experiment_id=args.experiment_id,
-        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1))
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        model_parallel=getattr(args, "model_parallel", 1))
     return Config(model=model, optim=optim, data=data, train=train)
 
 

@@ -39,7 +39,7 @@ def main(argv=None):
     cfg = merge_cli_overrides(cfg, args, p, argv)
 
     model = build_pose_model(cfg.model)
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=cfg.train.model_parallel)
     _, val_ds = make_datasets(cfg)
     _, val_loader = make_loaders(cfg, val_ds, val_ds)
 

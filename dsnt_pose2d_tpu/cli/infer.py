@@ -42,7 +42,7 @@ def main(argv=None):
     cfg = merge_cli_overrides(cfg, args, p, argv)
 
     model = build_pose_model(cfg.model)
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=cfg.train.model_parallel)
     if args.subset == "test":
         # The held-out MPII test split (labels withheld upstream; predictions
         # go to the external MATLAB harness).

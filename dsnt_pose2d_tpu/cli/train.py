@@ -53,7 +53,7 @@ def main(argv=None):
     initialize_distributed()
     cfg = config_from_args(args)
     model = build_pose_model(cfg.model)
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=cfg.train.model_parallel)
     out_dir = experiment_dir(cfg)
 
     train_ds, val_ds = make_datasets(cfg)

@@ -10,10 +10,11 @@ parallelism first-class and everything else a config-away extension:
 - multi-host: ``jax.distributed.initialize()`` + per-host input sharding
   (:mod:`dsnt_pose2d_tpu.data.loader`) + ``jax.make_array_from_process_local_data``
   to assemble the global batch from host-local shards;
-- a ``model`` axis placeholder exists in :func:`make_mesh` so tensor
-  parallelism can be added without breaking the mesh API (deliberately
-  unimplemented — the largest reference model, hg8 at ~26M params, fits
-  trivially per chip).
+- a ``model`` axis carries tensor parallelism (:mod:`dsnt_pose2d_tpu.
+  parallel.tp`): conv/dense kernels column-sharded over ``model``, XLA
+  emitting the collectives.  Off by default (``model_parallel=1``) — the
+  largest reference model, hg8 at ~26M params, fits trivially per chip, so
+  TP is a scaling valve for larger-than-chip futures, not a win here.
 """
 
 from __future__ import annotations

@@ -64,16 +64,37 @@ def _dump_samples(sample_dir: str, epoch: int, batch: dict,
         save_png(img, os.path.join(sample_dir, f"epoch{epoch:04d}_s{i}.png"))
 
 
+def state_sharding_for(model: PoseModel, cfg: Config, mesh):
+    """Sharding (tree) for the TrainState argument of every jitted step.
+
+    Pure data parallelism (no ``model`` mesh axis): one replicated sharding,
+    zero overhead.  With ``model_parallel > 1`` the state tree is
+    shape-inferred via ``jax.eval_shape`` (no arrays materialize) and every
+    feature-bearing leaf gets the tensor-parallel annotation from
+    :mod:`dsnt_pose2d_tpu.parallel.tp`; GSPMD partitions the convs/matmuls
+    and inserts the collectives from there.
+    """
+    from ..parallel.tp import state_shardings, tp_size
+
+    if tp_size(mesh) == 1:
+        return replicated(mesh)
+    shapes = jax.eval_shape(
+        lambda: create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                                   batch_size=2))
+    return state_shardings(mesh, shapes)
+
+
 def make_step_fns(model: PoseModel, cfg: Config, mesh,
                   steps_per_epoch: int = 1):
     """Build (train_step, eval_step), jitted with mesh shardings."""
     train_step, eval_step = _build_step_bodies(model, cfg, steps_per_epoch)
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     bsh = batch_sharding(mesh)
-    train_jit = jax.jit(train_step, in_shardings=(repl, bsh),
-                        out_shardings=repl,
+    train_jit = jax.jit(train_step, in_shardings=(ssh, bsh),
+                        out_shardings=(ssh, repl),
                         donate_argnums=(0,) if cfg.train.donate else ())
-    eval_jit = jax.jit(eval_step, in_shardings=(repl, bsh),
+    eval_jit = jax.jit(eval_step, in_shardings=(ssh, bsh),
                        out_shardings=repl)
     return train_jit, eval_jit
 
@@ -87,8 +108,9 @@ def make_eval_fn(model: PoseModel, cfg: Config, mesh):
     """
     _, eval_step = _build_eval_body(model, cfg)
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(eval_step, in_shardings=(repl, bsh), out_shardings=repl)
+    return jax.jit(eval_step, in_shardings=(ssh, bsh), out_shardings=repl)
 
 
 def make_infer_fn(model: PoseModel, cfg: Config, mesh):
@@ -122,8 +144,9 @@ def make_infer_fn(model: PoseModel, cfg: Config, mesh):
         return sum(preds) / len(preds)
 
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(infer_step, in_shardings=(repl, bsh), out_shardings=repl)
+    return jax.jit(infer_step, in_shardings=(ssh, bsh), out_shardings=repl)
 
 
 def _eval_scales(cfg: Config) -> tuple:
@@ -291,8 +314,10 @@ def make_resident_step(model: PoseModel, cfg: Config, mesh,
         return train_step(state, gather(resident, idx))
 
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(step, in_shardings=(repl, dsh, dsh), out_shardings=repl,
+    return jax.jit(step, in_shardings=(ssh, dsh, dsh),
+                   out_shardings=(ssh, repl),
                    donate_argnums=(0,) if cfg.train.donate else ())
 
 
@@ -319,10 +344,11 @@ def make_resident_multi_step(model: PoseModel, cfg: Config, mesh,
         return jax.lax.scan(body, state, idx_k)
 
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
     ksh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.jit(multi, in_shardings=(repl, dsh, ksh),
-                   out_shardings=(repl, repl),
+    return jax.jit(multi, in_shardings=(ssh, dsh, ksh),
+                   out_shardings=(ssh, repl),
                    donate_argnums=(0,) if cfg.train.donate else ())
 
 
@@ -347,8 +373,9 @@ def make_resident_eval_step(model: PoseModel, cfg: Config, mesh):
         return eval_step(state, batch)
 
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(step, in_shardings=(repl, dsh, dsh, dsh),
+    return jax.jit(step, in_shardings=(ssh, dsh, dsh, dsh),
                    out_shardings=repl)
 
 
@@ -376,10 +403,11 @@ def make_multi_step(model: PoseModel, cfg: Config, mesh,
     from ..parallel.mesh import DATA_AXIS
 
     repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
     # Super-batch: axis 0 = step, axis 1 = (sharded) batch.
     sbsh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.jit(multi_step, in_shardings=(repl, sbsh),
-                   out_shardings=(repl, repl),
+    return jax.jit(multi_step, in_shardings=(ssh, sbsh),
+                   out_shardings=(ssh, repl),
                    donate_argnums=(0,) if cfg.train.donate else ())
 
 
@@ -612,7 +640,8 @@ class Trainer:
                 {"params": state.params, "batch_stats": state.batch_stats}, sd)
             state = state.replace(params=variables["params"],
                                   batch_stats=variables["batch_stats"])
-        return jax.device_put(state, replicated(self.mesh))
+        return jax.device_put(
+            state, state_sharding_for(self.model, self.cfg, self.mesh))
 
     def run(self, state: TrainState | None = None, start_epoch: int = 0,
             best_pckh: float = -1.0, start_step: int = 0):
@@ -686,6 +715,18 @@ class Trainer:
             base_step = int(jax.device_get(state.step))
             pending: deque = deque()
 
+            def enqueue_log(rec, vals):
+                # Start the D2H copy NOW: by the time the lag window drains
+                # this record (>= _MAX_INFLIGHT dispatches later) the bytes
+                # are already host-side and device_get is local — otherwise
+                # every drain pays a full tunnel round-trip (~57/epoch held
+                # the flagship resident run to 81% of its bare-loop bench).
+                for v in vals.values():
+                    if hasattr(v, "copy_to_host_async"):
+                        v.copy_to_host_async()
+                pending.append((rec, vals))
+                drain_logs(_MAX_INFLIGHT)
+
             def drain_logs(limit: int = 0):
                 while len(pending) > limit:
                     rec, vals = pending.popleft()
@@ -704,10 +745,9 @@ class Trainer:
                     maybe_save_step(state, step_in_epoch)
                     if (self.metric_writer and multi_fn is None and
                             dispatches % cfg.train.log_every_steps == 0):
-                        pending.append((
+                        enqueue_log(
                             {"epoch": epoch, "step": base_step + steps_done},
-                            dict(m)))
-                        drain_logs(_MAX_INFLIGHT)
+                            dict(m))
                 else:
                     state, ms = multi_fn(state, payload)
                     losses.append(ms["loss"])  # (k,) device array
@@ -716,15 +756,22 @@ class Trainer:
                     maybe_save_step(state, step_in_epoch)
                     if (self.metric_writer and
                             dispatches % log_every_dispatches == 0):
-                        pending.append((
+                        enqueue_log(
                             {"epoch": epoch, "step": base_step + steps_done},
-                            {"loss": ms["loss"][-1]}))
-                        drain_logs(_MAX_INFLIGHT)
+                            {"loss": ms["loss"][-1]})
                 dispatches += 1
             if self.metric_writer:
                 drain_logs(0)
             jax.block_until_ready(state.params)
             epoch_time = time.time() - t0
+            # Overlap the per-dispatch loss fetches: a serial device_get of
+            # ~300 tiny (k,) arrays pays one tunnel round-trip EACH (~1s per
+            # epoch measured on the flagship resident run — the bulk of its
+            # gap to the bare-loop bench); async-copy them all first so the
+            # drain is a single transfer wave.
+            for x in losses:
+                if hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
             flat_losses = (np.concatenate(
                 [np.atleast_1d(np.asarray(x)) for x in jax.device_get(losses)])
                 if losses else np.zeros(0))
@@ -893,7 +940,8 @@ class EvalDriver:
             self.model, self.cfg.optim, rng,
             batch_size=max(2, len(self.mesh.devices.flat)),
             epochs=self.cfg.train.epochs)
-        return jax.device_put(state, replicated(self.mesh))
+        return jax.device_put(
+            state, state_sharding_for(self.model, self.cfg, self.mesh))
 
     def evaluate(self, state: TrainState, sample_dir: str | None = None,
                  epoch: int = 0) -> dict:

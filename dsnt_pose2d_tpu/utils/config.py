@@ -205,6 +205,12 @@ class TrainConfig:
     # Optimizer steps per host dispatch (lax.scan over a stacked super-batch);
     # >1 amortizes host/transport latency. Numerics identical to 1.
     steps_per_dispatch: int = 1
+    # Tensor-parallel width: size of the mesh's 'model' axis.  Devices split
+    # as (data = n/model_parallel, model = model_parallel); conv/dense
+    # kernels are column-sharded over 'model' (parallel/tp.py) and XLA
+    # inserts the collectives.  1 = pure data parallelism (default; right
+    # for every reference-sized model — see parallel/tp.py docstring).
+    model_parallel: int = 1
 
 
 @dataclass(frozen=True)

@@ -91,6 +91,60 @@ def test_eval_psum_counts_match_single_device():
     np.testing.assert_allclose(counts[1][0], counts[8][0])
 
 
+def test_tensor_parallel_state_is_sharded():
+    # The 'model' axis is real (round-4): conv kernels carry a
+    # P(..., 'model') annotation, 1-D batch-norm/bias leaves stay replicated,
+    # and the optimizer mirrors inherit the kernel layout purely by shape.
+    from dsnt_pose2d_tpu.train.loop import state_sharding_for
+
+    cfg = _cfg(8)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(8, model_parallel=2)
+    ssh = state_sharding_for(model, cfg, mesh)
+    stem = ssh.params["backbone"]["stem_conv"]["kernel"]
+    assert stem.spec == jax.sharding.PartitionSpec(None, None, None, "model")
+    assert ssh.params["backbone"]["stem_bn"]["scale"].spec == jax.sharding.PartitionSpec()
+    opt_specs = {s.spec for s in jax.tree_util.tree_leaves(
+        ssh.opt_state, is_leaf=lambda x: hasattr(x, "spec"))}
+    assert jax.sharding.PartitionSpec(None, None, None, "model") in opt_specs
+
+
+@pytest.mark.slow
+def test_tensor_parallel_step_matches_dp():
+    # TP must be a pure layout change: same data, same init => same loss and
+    # same updated params as the replicated DP run (up to reduction order).
+    from dsnt_pose2d_tpu.train.loop import state_sharding_for
+
+    data = make_synthetic_mpii(8, canvas_size=32, seed=3)
+    results = {}
+    for tp in (1, 2):
+        cfg = _cfg(8)
+        model = build_pose_model(cfg.model)
+        mesh = make_mesh(8, model_parallel=tp)
+        train_step, eval_step = make_step_fns(model, cfg, mesh)
+        state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                                   batch_size=2)
+        state = jax.device_put(state, state_sharding_for(model, cfg, mesh))
+        if tp > 1:  # really partitioned, not a silently-replicated no-op
+            k = state.params["backbone"]["stem_conv"]["kernel"]
+            assert {s.data.shape[-1] for s in k.addressable_shards} == \
+                {k.shape[-1] // tp}
+        batch = shard_batch(mesh, data)
+        state, metrics = train_step(state, batch)
+        ev = eval_step(state, batch)
+        results[tp] = (
+            float(jax.device_get(metrics["loss"])),
+            np.asarray(jax.device_get(state.params["backbone"]["stem_conv"]["kernel"])),
+            np.asarray(jax.device_get(ev["pckh_total"])),
+        )
+    np.testing.assert_allclose(results[1][0], results[2][0], rtol=2e-4)
+    # Param tolerance: conv-channel psum reduction order differs under TP and
+    # RMSProp's 1/(sqrt(nu)+eps) amplifies it early in training (observed
+    # max |delta| ~4e-5 on 1/9408 elements); a real sharding bug is O(1).
+    np.testing.assert_allclose(results[1][1], results[2][1], atol=2e-4)
+    np.testing.assert_allclose(results[1][2], results[2][2])
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     # Tiny scale keeps the suite fast; the DRIVER-DEFAULT flagship scale
