@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Measured 2026-08-19 on the 1-core CI/driver-class host: 260s cold
 # (mesh 4s / state 26s / scan-dispatch compile 113s / eval 18s / resident
-# eval 20s / resident scan compile 83s).  The assertion leaves ~2x headroom
+# eval 20s / resident scan compile 83s); 279s with the round-4
+# tensor-parallel stage appended.  The assertion leaves ~2x headroom
 # to absorb host jitter while staying below the driver's observed >540s kill
 # budget; if this test starts failing, the DRYRUN SCALE must shrink — do not
 # raise the number past the driver budget.
