@@ -1,4 +1,5 @@
-"""Mesh/sharding utilities (data-parallel over ICI, model axis reserved)."""
+"""Mesh/sharding utilities: data parallelism over ICI + tensor parallelism
+over the ``model`` axis (:mod:`dsnt_pose2d_tpu.parallel.tp`)."""
 
 from .mesh import (
     DATA_AXIS,
@@ -9,13 +10,17 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import leaf_sharding, state_shardings, tp_size
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
     "initialize_distributed",
+    "leaf_sharding",
     "make_mesh",
     "replicated",
     "shard_batch",
+    "state_shardings",
+    "tp_size",
 ]
