@@ -3,11 +3,11 @@
 Measures images/sec/chip for the full hg8 + DSNT + JS train step (on-device
 augmentation + forward + backward + RMSProp update, bf16 backbone, fused
 Pallas DSNT head) — BASELINE config #3, the workload of BASELINE.json's
-``metric``.  Prints ONE JSON line:
+``metric``.  Prints ONE JSON line on stdout (progress goes to stderr):
 
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
      "median": N, "min": N, "max": N, "spread_pct": N,
-     "tflops_per_step": N, "implied_mfu": N, "e2e": {...}}
+     "tflops_per_step": N, "implied_mfu": N, "e2e": {...}, "budget": {...}}
 
 ``value`` is the MEDIAN of ``BENCH_REPEATS`` independent two-point
 measurements (round-2 verdict: single-shot numbers on the tunneled transport
@@ -19,13 +19,36 @@ the REAL input path (mmap-packed uint8 canvases -> ShardedLoader threads ->
 H2D -> device step) over full epochs, the number a training run actually
 sees.
 
+BUDGET AWARENESS (round-5 fix for the r04 red artifact, rc=124/parsed=null):
+the whole run operates under a wall-clock budget (``DSNT_BENCH_BUDGET_S``,
+default 540 s — just inside the driver's observed ~600 s kill).  Three
+defenses, mirroring __graft_entry__.dryrun_multichip:
+
+  1. Every stage prints a flushed ``[bench +Ns]`` line to STDERR the moment
+     it starts/finishes, so even a hard kill leaves per-stage evidence.
+  2. Stages are ordered headline-first (device step -> e2e streaming -> e2e
+     resident) and each optional stage is gated on remaining budget; repeat
+     loops check the deadline between iterations.
+  3. A daemon WATCHDOG thread fires ``margin`` seconds before the budget,
+     prints the partial JSON (headline first, later stages marked skipped)
+     and ``os._exit(0)`` — this works even while the main thread is blocked
+     inside a C dispatch the driver's SIGTERM could never interrupt.
+
+The FLOP count comes from the SAME AOT-compiled executable that the timing
+loop runs (``jitted.lower(...).compile()`` once; ``cost_analysis()`` +
+``compiled(...)`` from that one object) — the r04 bench paid a redundant
+second trace/compile just for FLOPs.
+
 ``vs_baseline`` is the speedup over the PyTorch-CPU reference implementation
 (bench_torch_reference.py), measured once and cached in BENCH_BASELINE.json.
 
 Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_REPEATS, BENCH_SKIP_E2E,
 BENCH_E2E_STEPS_PER_DISPATCH, BENCH_PEAK_FLOPS (default 197e12, v5e bf16),
 BENCH_MFU_CEILING (default 0.60 — repeats implying more are re-measured),
-BENCH_FIXTURE_DIR.
+BENCH_FIXTURE_DIR, DSNT_BENCH_BUDGET_S; plus tiny-config knobs for the CI
+budget test (BENCH_BASE, BENCH_HG_FEATURES, BENCH_HG_DEPTH,
+BENCH_INPUT_SIZE, BENCH_CANVAS) — tests/test_bench_budget.py runs this very
+file cold-cache on CPU and asserts a parseable JSON line lands in budget.
 """
 
 from __future__ import annotations
@@ -34,30 +57,96 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("DSNT_BENCH_BUDGET_S", "540") or 0)
+_WATCHDOG_MARGIN_S = 12.0
 
-def _baseline_ips() -> float:
+# The partial result, filled progressively; the watchdog emits it as-is.
+_RESULT: dict = {
+    "metric": "images/sec/chip (hg8+DSNT+JS fwd/bwd train step)",
+    "value": 0.0,
+    "unit": "images/sec/chip",
+    "vs_baseline": 0.0,
+}
+_EMITTED = threading.Event()
+_DONE = threading.Event()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    """Seconds left before the watchdog fires (inf when no budget set)."""
+    if not BUDGET_S:
+        return float("inf")
+    return BUDGET_S - _WATCHDOG_MARGIN_S - _elapsed()
+
+
+def stage(msg: str) -> None:
+    print(f"[bench +{_elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(partial: bool) -> None:
+    """Print the ONE JSON line (exactly once, even if watchdog races main)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    budget_info = _RESULT.setdefault("budget", {})
+    budget_info["budget_s"] = BUDGET_S or None
+    budget_info["elapsed_s"] = round(_elapsed(), 1)
+    budget_info["partial"] = partial
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _watchdog() -> None:
+    if not BUDGET_S:
+        return
+    deadline = BUDGET_S - _WATCHDOG_MARGIN_S
+    while not _DONE.wait(timeout=min(1.0, max(0.05, deadline - _elapsed()))):
+        if _elapsed() >= deadline:
+            stage(f"WATCHDOG: budget {BUDGET_S:.0f}s nearly exhausted — "
+                  "emitting partial result and exiting")
+            _RESULT.setdefault("budget", {})["watchdog_fired"] = True
+            _emit(partial=True)
+            # os._exit: the main thread may be blocked inside an
+            # uninterruptible C dispatch (tunneled PJRT fetch); a normal
+            # sys.exit from a daemon thread would not stop it.
+            os._exit(0)
+
+
+def _baseline_ips(max_subprocess_s: float = 900.0) -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)["torch_cpu_images_per_sec"]
-    # Measure the torch CPU reference in a subprocess (isolates threads).
+    # Measure the torch CPU reference in a subprocess (isolates threads) —
+    # only when enough budget remains; a missing cache must never eat the
+    # whole run (the subprocess previously had a 3600 s timeout).
+    if _remaining() < max_subprocess_s + 60:
+        stage("baseline cache missing and budget too tight to measure; "
+              "vs_baseline=0")
+        return 0.0
     import subprocess
 
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__),
                                           "bench_torch_reference.py")],
-            capture_output=True, text=True, timeout=3600, check=True)
+            capture_output=True, text=True, timeout=max_subprocess_s,
+            check=True)
         val = json.loads(out.stdout.strip().splitlines()[-1])
         with open(BASELINE_CACHE, "w") as f:
             json.dump(val, f)
         return val["torch_cpu_images_per_sec"]
     except Exception as e:  # pragma: no cover
-        print(f"# baseline measurement failed ({e}); vs_baseline=0", file=sys.stderr)
+        print(f"# baseline measurement failed ({e}); vs_baseline=0",
+              file=sys.stderr)
         return 0.0
 
 
@@ -67,24 +156,35 @@ def _flagship_config(batch: int, use_pallas: bool, remat: bool, base: str,
                                               TrainConfig)
 
     return Config(
-        model=ModelConfig(base=base, output_strat="dsnt", reg="js",
-                          dtype="bfloat16", use_pallas=use_pallas,
-                          remat=remat),
+        model=ModelConfig(
+            base=base, output_strat="dsnt", reg="js",
+            dtype="bfloat16", use_pallas=use_pallas, remat=remat,
+            hg_features=int(os.environ.get("BENCH_HG_FEATURES", "256")),
+            hg_depth=int(os.environ.get("BENCH_HG_DEPTH", "4")),
+            input_size=int(os.environ.get("BENCH_INPUT_SIZE", "0"))),
         train=TrainConfig(batch_size=batch, donate=True,
                           steps_per_dispatch=steps_per_dispatch),
         data=DataConfig(warp_method=warp) if warp else DataConfig(),
     )
 
 
-def _step_flops(jitted, *args) -> float:
-    """XLA's own FLOP count for one dispatch (0.0 if unavailable)."""
+def _aot_compile(jitted, *args):
+    """One trace+compile; returns (callable, flops) from the SAME executable.
+
+    Replaces the r04 pattern of a separate ``lower().compile()`` just for
+    ``cost_analysis`` followed by a second independent jit trace for the
+    timing loop — one cold XLA compile, not two.
+    """
+    compiled = jitted.lower(*args).compile()
+    flops = 0.0
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0))
     except Exception:
-        return 0.0
+        pass
+    return compiled, flops
 
 
 def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
@@ -101,6 +201,9 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     the marginal per-step time — immune to fixed dispatch/fetch overheads.
     The repeats are summarized as median + min/max (tunnel/host conditions
     drift between runs; one sample is not a number).
+
+    Budget-aware: the repeat loop (including MFU-filter re-measures) stops
+    when the global deadline approaches, reporting whatever repeats landed.
     """
     import jax
 
@@ -118,7 +221,11 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)
     k = max(1, steps_per_dispatch)
-    data = make_synthetic_mpii(batch, canvas_size=384, seed=0)
+    canvas = int(os.environ.get("BENCH_CANVAS", "384"))
+    data = make_synthetic_mpii(batch, canvas_size=canvas, seed=0)
+    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
+                               batch_size=2)
+    state = jax.device_put(state, replicated(mesh))
     if k > 1:
         from dsnt_pose2d_tpu.train.loop import make_multi_step
         import numpy as _np
@@ -128,31 +235,23 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
         # e2e benchmark, not the device-step one.
         super_batch = shard_super_batch(
             mesh, {key: _np.stack([v] * k) for key, v in data.items()})
-        step_fn = lambda st, _b: multi(st, super_batch)
+        stage(f"compiling device step (base={base} k={k} batch={batch})")
+        compiled, flops = _aot_compile(multi, state, super_batch)
+        step_fn = lambda st, _b: compiled(st, super_batch)
         batch_arrays = None
-        jitted = multi
     else:
         train_step, _ = make_step_fns(model, cfg, mesh)
         batch_arrays = shard_batch(mesh, data)
-        step_fn = lambda st, b: train_step(st, b)
-        jitted = train_step
-    state = create_train_state(model, cfg.optim, jax.random.PRNGKey(0),
-                               batch_size=2)
-    state = jax.device_put(state, replicated(mesh))
-
-    # FLOP cross-check BEFORE the timed loops (state gets donated below).
-    # For k > 1 the dispatch is a lax.scan and XLA's cost_analysis counts
-    # the while-loop BODY ONCE (verified empirically: the k=4 count equals
-    # the k=1 count), so the number is already per-step.
-    if k > 1:
-        flops = _step_flops(jitted, state, super_batch)
-    else:
-        flops = _step_flops(jitted, state, batch_arrays)
+        stage(f"compiling device step (base={base} k=1 batch={batch})")
+        compiled, flops = _aot_compile(train_step, state, batch_arrays)
+        step_fn = lambda st, b: compiled(st, b)
+    stage(f"device step compiled ({flops / 1e12:.3f} TFLOP/step)")
 
     for _ in range(warmup):
         state, metrics = step_fn(state, batch_arrays)
     loss = metrics["loss"]
     float(jax.device_get(loss if loss.ndim == 0 else loss[-1]))
+    stage("warmup done")
 
     def timed(n):
         nonlocal state
@@ -177,12 +276,20 @@ def measure_tpu(batch: int = 32, iters: int = 20, warmup: int = 3,
     floor = flops / (PEAK_FLOPS * mfu_ceiling) if flops else 0.0
     per_step, rejected = [], []
     attempts = 0
+    repeat_cost = 0.0  # measured cost of one attempt; gates the next
     while len(per_step) < repeats and attempts < 2 * repeats:
+        if attempts and _remaining() < 2.0 * repeat_cost:
+            stage(f"deadline near: stopping after {attempts} repeat attempts")
+            break
         attempts += 1
+        ta = time.monotonic()
         t1 = timed(iters)
         t2 = timed(2 * iters)
+        repeat_cost = max(repeat_cost, time.monotonic() - ta)
         dt = (t2 - t1) / (iters * k)  # per STEP (a dispatch runs k steps)
         (per_step if dt > floor else rejected).append(dt)
+        stage(f"repeat {attempts}: {batch / dt:.1f} img/s"
+              + ("" if dt > floor else " (rejected: above MFU ceiling)"))
     suspect = False
     if not per_step:
         # Every attempt was physically impossible (persistent tunnel jitter
@@ -256,7 +363,7 @@ def _ensure_e2e_fixture(n: int, canvas: int = 384) -> str:
 def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
                 use_pallas: bool = True, base: str = "hg8",
                 steps_per_dispatch: int = 1, workers: int = 4,
-                resident: bool = False, canvas: int = 384,
+                resident: bool = False, canvas: int = 0,
                 prefetch_depth: int = 2) -> dict:
     """End-to-end epoch throughput over the real input path.
 
@@ -265,6 +372,9 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
     ``resident=True``: the device-resident path — packed canvases staged in
     HBM once, per-step input is a (B,) index vector gathered on device
     (data/resident.py), which removes per-step H2D entirely.
+
+    Budget-aware: measurement epochs stop early when the deadline nears,
+    reporting the epochs that completed (at least the first).
     """
     import jax
     import numpy as np
@@ -281,6 +391,7 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
     from dsnt_pose2d_tpu.train.state import create_train_state
 
     enable_compilation_cache()
+    canvas = canvas or int(os.environ.get("BENCH_CANVAS", "384"))
     n = batch * epoch_steps
     fixture = _ensure_e2e_fixture(n, canvas=canvas)
     ds = PackedDataset(fixture, "train")
@@ -352,14 +463,28 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
             float(jax.device_get(last))  # true execution barrier
             return steps * batch / (time.time() - t0)
 
+    label = "resident" if resident else "streaming"
+    t0 = time.monotonic()
     run_epoch(0)  # warmup: compile + page-cache the mmap / stage HBM
-    vals = sorted(run_epoch(1 + r) for r in range(repeats))
+    epoch_cost = time.monotonic() - t0
+    stage(f"e2e {label} k={k}: warmup epoch done ({epoch_cost:.1f}s)")
+    vals = []
+    for r in range(repeats):
+        if vals and _remaining() < 1.5 * epoch_cost:
+            stage(f"deadline near: e2e {label} stopping after "
+                  f"{len(vals)}/{repeats} epochs")
+            break
+        te = time.monotonic()
+        vals.append(run_epoch(1 + r))
+        epoch_cost = time.monotonic() - te
+    vals.sort()
     out = {
         "median": round(statistics.median(vals), 2),
         "min": round(vals[0], 2),
         "max": round(vals[-1], 2),
         "steps_per_dispatch": k,
         "epoch_steps": epoch_steps,
+        "epochs_measured": len(vals),
         "resident": resident,
         "canvas": canvas,
     }
@@ -371,29 +496,67 @@ def measure_e2e(batch: int = 16, repeats: int = 3, epoch_steps: int = 24,
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True, name="bench-watchdog").start()
+    stage(f"bench start (budget={BUDGET_S or 'none'}s)")
     batch = int(os.environ.get("BENCH_BATCH", "16"))  # throughput peak on v5e (memory-bound workload)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     repeats = int(os.environ.get("BENCH_REPEATS", "7"))
-    dev = measure_tpu(batch=batch, iters=iters, repeats=repeats)
-    base = _baseline_ips()
-    result = {
-        "metric": "images/sec/chip (hg8+DSNT+JS fwd/bwd train step)",
-        "value": dev["median"],
-        "unit": "images/sec/chip",
-        "vs_baseline": round(dev["median"] / base, 2) if base else 0.0,
-        **dev,
-    }
-    if not os.environ.get("BENCH_SKIP_E2E"):
-        k = int(os.environ.get("BENCH_E2E_STEPS_PER_DISPATCH", "1"))
-        e2e = measure_e2e(batch=batch, steps_per_dispatch=k)
-        e2e["vs_device_step_pct"] = round(100.0 * e2e["median"] / dev["median"], 1)
-        result["e2e"] = e2e
-        # The default train path: dataset resident in HBM, zero per-step H2D.
-        kr = int(os.environ.get("BENCH_E2E_RESIDENT_DISPATCH", "4"))
-        res = measure_e2e(batch=batch, steps_per_dispatch=kr, resident=True)
-        res["vs_device_step_pct"] = round(100.0 * res["median"] / dev["median"], 1)
-        result["e2e_resident"] = res
-    print(json.dumps(result))
+    base_model = os.environ.get("BENCH_BASE", "hg8")
+    _RESULT["budget"] = {"stages": []}
+    stages_done = _RESULT["budget"]["stages"]
+
+    try:
+        dev = measure_tpu(batch=batch, iters=iters, repeats=repeats,
+                          base=base_model)
+        _RESULT.update(dev)
+        _RESULT["value"] = dev["median"]
+        stages_done.append("device_step")
+        stage(f"headline: {dev['median']} img/s/chip "
+              f"(mfu={dev.get('implied_mfu', 0)})")
+        base = _baseline_ips()
+        _RESULT["vs_baseline"] = (round(dev["median"] / base, 2)
+                                  if base else 0.0)
+        stages_done.append("vs_baseline")
+
+        if not os.environ.get("BENCH_SKIP_E2E"):
+            # Streaming e2e shares the device-step HLO (persistent-cache
+            # hit); ~5 epochs of wall clock.  Gate on a conservative floor.
+            if _remaining() > 90:
+                k = int(os.environ.get("BENCH_E2E_STEPS_PER_DISPATCH", "1"))
+                e2e = measure_e2e(batch=batch, steps_per_dispatch=k,
+                                  base=base_model)
+                e2e["vs_device_step_pct"] = round(
+                    100.0 * e2e["median"] / dev["median"], 1)
+                _RESULT["e2e"] = e2e
+                stages_done.append("e2e_streaming")
+            else:
+                stage("skipping e2e streaming (budget)")
+                _RESULT["e2e"] = {"skipped": "budget"}
+            # The default train path: dataset resident in HBM, zero per-step
+            # H2D — but a fresh scan-graph compile, the most expensive
+            # remaining stage; needs the largest remaining window.
+            if _remaining() > 120:
+                kr = int(os.environ.get("BENCH_E2E_RESIDENT_DISPATCH", "4"))
+                res = measure_e2e(batch=batch, steps_per_dispatch=kr,
+                                  resident=True, base=base_model)
+                res["vs_device_step_pct"] = round(
+                    100.0 * res["median"] / dev["median"], 1)
+                _RESULT["e2e_resident"] = res
+                stages_done.append("e2e_resident")
+            else:
+                stage("skipping e2e resident (budget)")
+                _RESULT["e2e_resident"] = {"skipped": "budget"}
+    except Exception:
+        # A failed stage must still leave a parseable artifact: record the
+        # error IN the JSON (value stays 0.0 unless the headline landed) and
+        # exit 0 so the driver captures the line instead of a bare rc=1.
+        import traceback
+
+        traceback.print_exc()
+        _RESULT["error"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
+    finally:
+        _DONE.set()
+        _emit(partial="device_step" not in stages_done)
 
 
 if __name__ == "__main__":

@@ -66,13 +66,23 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1,
 def create_train_state(model, optim_cfg: OptimConfig, rng: jax.Array,
                        batch_size: int = 1, steps_per_epoch: int = 1,
                        epochs: int = 200) -> TrainState:
-    init_rng, state_rng = jax.random.split(rng)
-    variables = model.init_variables(init_rng, batch_size=batch_size)
     tx = make_optimizer(optim_cfg, steps_per_epoch, epochs)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-        rng=state_rng,
-    )
+
+    # The WHOLE state construction (flax param init + optax moment zeros) is
+    # one jitted dispatch.  Eager construction issues hundreds of individual
+    # ops; over this image's tunneled TPU transport each eager dispatch
+    # costs ~1 s, so eager hg8 init burned ~110 s of every bench/train
+    # startup (measured 2026-08-20) — jitted it is one persistent-cached
+    # compile plus one execution.
+    def _build(rng: jax.Array) -> TrainState:
+        init_rng, state_rng = jax.random.split(rng)
+        variables = model.init_variables(init_rng, batch_size=batch_size)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            rng=state_rng,
+        )
+
+    return jax.jit(_build)(rng)
