@@ -314,3 +314,17 @@ class ResidentEvalData:
         for step in range(self.steps_per_epoch):
             idx, valid = self._step_host_arrays(step)
             yield _put_sharded(self.mesh, idx), _put_sharded(self.mesh, valid)
+
+    def epoch_stacked(self):
+        """The WHOLE epoch's (idx, valid) as (steps, batch) device arrays.
+
+        Input for the single-dispatch scan eval
+        (``train.loop.make_resident_eval_scan``): the index stream is fixed
+        per split, so one (S, B) upload (~KBs) replaces S per-step dispatches
+        — on a high-latency transport the dispatch ISSUE cost (~1 s each over
+        this image's tunnel) dominates an in-training eval pass.
+        """
+        pairs = [self._step_host_arrays(s) for s in range(self.steps_per_epoch)]
+        idx = np.stack([p[0] for p in pairs])
+        valid = np.stack([p[1] for p in pairs])
+        return _put_sharded(self.mesh, idx), _put_sharded(self.mesh, valid)

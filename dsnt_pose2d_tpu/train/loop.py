@@ -379,6 +379,45 @@ def make_resident_eval_step(model: PoseModel, cfg: Config, mesh):
                    out_shardings=repl)
 
 
+def make_resident_eval_scan(model: PoseModel, cfg: Config, mesh):
+    """The WHOLE resident eval pass as ONE jitted ``lax.scan`` dispatch.
+
+    ``(state, resident, idxs, valids)`` with ``idxs``/``valids`` of shape
+    ``(steps, batch)`` (``ResidentEvalData.epoch_stacked``).  Numerics are
+    identical to ``steps`` sequential ``make_resident_eval_step`` calls —
+    per-step outputs come back stacked along a leading axis and the host
+    reduces them exactly as the streaming drain does — but the host issues
+    ONE dispatch per epoch instead of ``steps``.  Over this image's tunneled
+    transport each dispatch ISSUE costs ~1 s, which made the per-epoch eval
+    pass (~38 dispatches on the 5k rehearsal fixture) the dominant epoch-
+    boundary cost of a sustained run (flagship report round 4: ~52 s wall
+    per epoch against ~10.5 s of train compute).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    _, eval_step = _build_eval_body(model, cfg)
+    gather = _make_resident_gather(mesh)
+
+    def scan_eval(state: TrainState, resident, idxs, valids):
+        def body(carry, step_inputs):
+            idx, valid = step_inputs
+            batch = dict(gather(resident, idx))
+            batch["mask"] = batch["mask"] * valid[:, None]
+            return carry, eval_step(state, batch)
+
+        _, stacked = jax.lax.scan(body, 0, (idxs, valids))
+        return stacked
+
+    repl = replicated(mesh)
+    ssh = state_sharding_for(model, cfg, mesh)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    ssh2 = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(scan_eval, in_shardings=(ssh, dsh, ssh2, ssh2),
+                   out_shardings=repl)
+
+
 def make_multi_step(model: PoseModel, cfg: Config, mesh,
                     steps_per_epoch: int = 1):
     """A k-step train function: ``lax.scan`` over a stacked super-batch.
@@ -477,12 +516,23 @@ class Trainer:
                 self.resident_multi = make_resident_multi_step(
                     self.model, self.cfg, self.mesh, spe)
         elif self.cfg.train.steps_per_dispatch > 1:
-            self.multi_step = make_multi_step(
-                self.model, self.cfg, self.mesh, spe)
+            # Grouped dispatch is RESIDENT-ONLY.  On the streaming path the
+            # k-step super-batch defeats the single-batch H2D/compute overlap
+            # and is measured strictly SLOWER than k=1 (docs/
+            # bench_streaming.json: 37.5 vs 45.7 img/s @384, 98 vs 185.6
+            # @256), so a preset's steps_per_dispatch must not leak into a
+            # streaming epoch (e.g. auto-pack epoch 0 on a raw layout).
+            # ``_swap_to_packed``/residency re-enable k the moment the input
+            # becomes resident.
+            self._log0(
+                f"steps_per_dispatch={self.cfg.train.steps_per_dispatch} "
+                "clamped to 1 on the streaming input path (measured slower "
+                "than single-step dispatch, docs/bench_streaming.json); "
+                "grouped dispatch re-enables when the input is HBM-resident")
         self.val_resident = self._maybe_val_resident()
-        self.resident_eval_step = None
+        self.resident_eval_scan = None
         if self.val_resident is not None:
-            self.resident_eval_step = make_resident_eval_step(
+            self.resident_eval_scan = make_resident_eval_scan(
                 self.model, self.cfg, self.mesh)
 
     def _log0(self, msg: str):
@@ -781,6 +831,17 @@ class Trainer:
             summary = {"epoch": epoch, "train_loss": train_loss,
                        "epoch_seconds": epoch_time,
                        "images_per_sec": n_steps * local_bs * jax.process_count() / max(epoch_time, 1e-9)}
+            will_ckpt = bool(self.checkpointer) and \
+                (epoch + 1) % cfg.train.checkpoint_every_epochs == 0
+            if will_ckpt:
+                # Start the checkpoint's state D2H NOW, before the eval
+                # dispatch: the copies ride the transport while the eval
+                # scan owns the device, so the boundary pays
+                # max(eval, state-fetch) instead of their sum (round-4
+                # flagship: the boundary was ~5x the epoch's train compute).
+                for leaf in jax.tree_util.tree_leaves(state):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
             if self.val_loader is not None and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 sample_dir = None
@@ -789,19 +850,27 @@ class Trainer:
 
                     sample_dir = os.path.join(
                         os.path.dirname(self.metric_writer.path), "samples")
+                tb = time.time()
                 val = self.evaluate(state, sample_dir=sample_dir, epoch=epoch)
                 summary.update({"val_loss": val["loss"],
-                                "val_pckh": val["pckh"]})
+                                "val_pckh": val["pckh"],
+                                "eval_seconds": round(time.time() - tb, 3)})
                 is_best = val["pckh"] > best_pckh
                 best_pckh = max(best_pckh, val["pckh"])
             else:
                 is_best = False
+            if will_ckpt:
+                # Hand orbax a HOST snapshot (the async copies above have
+                # already landed or overlap the eval): the save()'s
+                # serialization phase then does no device fetches and its
+                # write thread runs past the epoch boundary.
+                tb = time.time()
+                host_state = jax.device_get(state)
+                self.checkpointer.save(epoch, host_state, is_best=is_best,
+                                       metrics=summary)
+                summary["ckpt_seconds"] = round(time.time() - tb, 3)
             if self.metric_writer:
                 self.metric_writer.write(summary)
-            if self.checkpointer and \
-                    (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
-                self.checkpointer.save(epoch, state, is_best=is_best,
-                                       metrics=summary)
             for hook in self.hooks:
                 hook(epoch, state, summary)
             if self._autopack is not None:
@@ -816,8 +885,8 @@ class Trainer:
     def evaluate(self, state: TrainState, sample_dir: str | None = None,
                  epoch: int = 0) -> dict:
         if self.val_resident is not None:
-            return run_evaluation_resident(
-                self.resident_eval_step, state, self.val_resident,
+            return run_evaluation_resident_scan(
+                self.resident_eval_scan, state, self.val_resident,
                 self.model.cfg.num_joints, sample_dir=sample_dir,
                 epoch=epoch, dataset=self.val_loader.dataset)
         return run_evaluation(self.eval_step, state, self.mesh,
@@ -910,6 +979,41 @@ def run_evaluation_resident(resident_eval_step, state, res, num_joints: int,
         preds = np.asarray(jax.device_get(first_out["pred_orig"]))
         _dump_samples(sample_dir, epoch, host_batch, preds)
     return {"loss": float(np.mean(losses)) if losses else float("nan"),
+            "pckh": evaluator.total_pckh(),
+            "evaluator": evaluator}
+
+
+def run_evaluation_resident_scan(resident_eval_scan, state, res,
+                                 num_joints: int,
+                                 sample_dir: str | None = None,
+                                 epoch: int = 0, dataset=None) -> dict:
+    """One full eval pass as a single scan dispatch + a single fetch.
+
+    Same results as :func:`run_evaluation_resident` (the stacked per-step
+    outputs are reduced in the identical order); the host round-trip count
+    per epoch drops from ``steps_per_epoch`` dispatches + fetches to 1 + 1.
+    """
+    idxs, valids = res.epoch_stacked()
+    stacked = resident_eval_scan(state, res.resident, idxs, valids)
+    for v in stacked.values():
+        if hasattr(v, "copy_to_host_async"):
+            v.copy_to_host_async()
+    host = jax.device_get(stacked)
+    evaluator = PCKhEvaluator(num_joints)
+    correct, total = np.asarray(host["pckh_correct"]), \
+        np.asarray(host["pckh_total"])
+    for s in range(correct.shape[0]):
+        evaluator.add_counts(correct[s], total[s])
+    losses = np.asarray(host["loss"])
+    if (sample_dir and dataset is not None and jax.process_index() == 0):
+        from ..data.resident import resident_arrays
+
+        arrays = resident_arrays(dataset)
+        rows = res.host_rows(0)[:4]
+        host_batch = {k: np.asarray(a[rows]) for k, a in arrays.items()}
+        preds = np.asarray(host["pred_orig"][0])
+        _dump_samples(sample_dir, epoch, host_batch, preds)
+    return {"loss": float(losses.mean()) if losses.size else float("nan"),
             "pckh": evaluator.total_pckh(),
             "evaluator": evaluator}
 

@@ -68,12 +68,6 @@ def create_train_state(model, optim_cfg: OptimConfig, rng: jax.Array,
                        epochs: int = 200) -> TrainState:
     tx = make_optimizer(optim_cfg, steps_per_epoch, epochs)
 
-    # The WHOLE state construction (flax param init + optax moment zeros) is
-    # one jitted dispatch.  Eager construction issues hundreds of individual
-    # ops; over this image's tunneled TPU transport each eager dispatch
-    # costs ~1 s, so eager hg8 init burned ~110 s of every bench/train
-    # startup (measured 2026-08-20) — jitted it is one persistent-cached
-    # compile plus one execution.
     def _build(rng: jax.Array) -> TrainState:
         init_rng, state_rng = jax.random.split(rng)
         variables = model.init_variables(init_rng, batch_size=batch_size)
@@ -85,4 +79,14 @@ def create_train_state(model, optim_cfg: OptimConfig, rng: jax.Array,
             rng=state_rng,
         )
 
+    # On an accelerator backend the WHOLE state construction (flax param
+    # init + optax moment zeros) is one jitted dispatch.  Eager construction
+    # issues hundreds of individual ops; over this image's tunneled TPU
+    # transport each eager dispatch costs ~1 s, so eager hg8 init burned
+    # ~110 s of every bench/train startup (measured 2026-08-20: 16 s
+    # jitted+cached vs ~110 s eager).  On CPU the trade inverts — eager
+    # dispatch is cheap and the XLA:CPU compile of the hg8 init graph costs
+    # ~45 s on the 1-core driver host — so CPU (tests, dryrun) stays eager.
+    if jax.default_backend() == "cpu":
+        return _build(rng)
     return jax.jit(_build)(rng)

@@ -146,7 +146,7 @@ def test_trainer_autopack_swaps_to_resident(mini_mpii, tmp_path):
         data=DataConfig(data_dir=root, canvas_size=64, color_jitter=0.0,
                         device_resident="auto"),
         train=TrainConfig(batch_size=4, epochs=2, seed=0, donate=False,
-                          log_every_steps=100),
+                          log_every_steps=100, steps_per_dispatch=4),
     )
     model = build_pose_model(cfg.model)
     mesh = make_mesh(1)
@@ -155,9 +155,14 @@ def test_trainer_autopack_swaps_to_resident(mini_mpii, tmp_path):
                       train_loader=ShardedLoader(ds, 4, shuffle=True, seed=0))
     assert trainer._autopack is not None          # wrapper installed
     assert trainer.resident is None               # epoch 0 streams
+    # steps_per_dispatch must NOT leak into the streaming epoch (measured
+    # strictly slower there, docs/bench_streaming.json): the k-step graph is
+    # clamped off until the input is resident.
+    assert trainer.multi_step is None
     state, _ = trainer.run()
     jax.block_until_ready(state.params)
     assert packed_available(root, "train")        # archive published
     assert isinstance(trainer.train_loader.dataset, PD)
     assert trainer.resident is not None           # epoch 1 ran resident
+    assert trainer.resident_multi is not None     # ...with k re-enabled
     assert trainer._autopack is None

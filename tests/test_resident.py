@@ -288,6 +288,20 @@ def test_resident_eval_matches_streaming_counts():
     assert int(re_.total.sum()) == int(
         np.asarray(resident_arrays(ds)["mask"]).sum())
 
+    # The single-dispatch scan variant (what the Trainer's in-training eval
+    # uses) must match the per-step passes bit for bit too.
+    from dsnt_pose2d_tpu.train.loop import (make_resident_eval_scan,
+                                            run_evaluation_resident_scan)
+
+    scanned = run_evaluation_resident_scan(
+        make_resident_eval_scan(model, cfg, mesh), state, res,
+        cfg.model.num_joints)
+    sc = scanned["evaluator"]
+    np.testing.assert_array_equal(se.correct, sc.correct)
+    np.testing.assert_array_equal(se.total, sc.total)
+    assert scanned["pckh"] == stream["pckh"]
+    np.testing.assert_allclose(scanned["loss"], resident["loss"], rtol=1e-6)
+
 
 def test_resident_eval_host_rows_layout():
     from dsnt_pose2d_tpu.data.resident import ResidentEvalData

