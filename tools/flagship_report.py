@@ -57,16 +57,28 @@ def main():
         for line in f:
             rec = json.loads(line)
             if "images_per_sec" in rec:
-                per_epoch.append({
+                entry = {
                     "epoch": rec["epoch"],
                     "img_s": round(rec["images_per_sec"], 1),
                     "train_loss": round(rec.get("train_loss", 0.0), 5),
                     "val_pckh": round(rec["val_pckh"], 4)
                     if "val_pckh" in rec else None,
-                })
+                }
+                # SUSTAINED wall throughput: the epoch INCLUDING its
+                # boundary (eval pass + checkpoint serialization) — the
+                # number a multi-epoch run actually delivers.  Requires the
+                # Trainer's eval_seconds/ckpt_seconds keys (round 5).
+                wall = (rec["epoch_seconds"]
+                        + rec.get("eval_seconds", 0.0)
+                        + rec.get("ckpt_seconds", 0.0))
+                images = rec["images_per_sec"] * rec["epoch_seconds"]
+                entry["wall_img_s"] = round(images / max(wall, 1e-9), 1)
+                entry["boundary_s"] = round(wall - rec["epoch_seconds"], 2)
+                per_epoch.append(entry)
     # Steady state excludes epoch 0 (compile + HBM staging) and epoch 1
     # (any autopack/residency switch).
     steady = [e["img_s"] for e in per_epoch[2:]] or [0.0]
+    steady_wall = [e["wall_img_s"] for e in per_epoch[2:]] or [0.0]
     report = {
         "config": {"base": "hg8", "output_strat": "dsnt", "reg": "js",
                    "dtype": "bfloat16", "batch_size": args.batch_size,
@@ -77,6 +89,11 @@ def main():
         "train_s": r["train_s"],
         "per_epoch": per_epoch,
         "steady_state_img_s_median": round(statistics.median(steady), 1),
+        "steady_state_wall_img_s_median": round(
+            statistics.median(steady_wall), 1),
+        "steady_state_img_s_min": round(min(steady), 1),
+        "boundary_s_median": round(statistics.median(
+            [e["boundary_s"] for e in per_epoch[2:]] or [0.0]), 2),
     }
 
     if not args.skip_device_bench:
@@ -90,6 +107,9 @@ def main():
         report["device_step_img_s"] = dev["median"]
         report["steady_state_vs_device_step_pct"] = round(
             100.0 * report["steady_state_img_s_median"] / dev["median"], 1)
+        report["sustained_wall_vs_device_step_pct"] = round(
+            100.0 * report["steady_state_wall_img_s_median"] / dev["median"],
+            1)
 
     with open(args.report, "w") as f:
         json.dump(report, f, indent=1)
