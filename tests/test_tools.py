@@ -59,7 +59,8 @@ def test_populated_mount_runs_layout_diff_and_op_parity(tmp_path):
         """))
     (ref / "README.md").write_text("| hg8 dsnt js | PCKh total 87.21 |\n")
     out = tmp_path / "report.json"
-    r = _run(["--reference", str(ref), "--out", str(out)], cwd=REPO)
+    r = _run(["--reference", str(ref), "--out", str(out),
+              "--goldens-out", str(tmp_path / "goldens_ref.npz")], cwd=REPO)
     assert r.returncode == 0, r.stderr + r.stdout
     report = json.loads(out.read_text())
 
@@ -81,3 +82,10 @@ def test_populated_mount_runs_layout_diff_and_op_parity(tmp_path):
 
     numbers = report["numbers"]["candidate_lines"]
     assert any("87.21" in h["text"] for h in numbers)
+
+    # Step 5: goldens regenerated FROM THE REFERENCE MODULE and the whole
+    # parity suite re-run against them, unattended, inside this one command.
+    regen = report["golden_regen"]
+    assert regen["status"] == "ran", regen
+    assert regen["parity_suite"]["passed"], regen["parity_suite"]
+    assert os.path.exists(regen["goldens"])

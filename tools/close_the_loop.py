@@ -22,7 +22,12 @@ It performs, in order, and emits one JSON report:
    fixtures and report max abs deviation per op, plus probes that pin the
    conventions SURVEY could only recall: grid endpoint formula, sigma units,
    gauss normalization, masked-average denominator.
-4. **Published-number re-pin** (SURVEY open item 3) — grep the reference's
+4. **Golden regeneration + parity-suite rerun** — rebuild the op goldens
+   (same seed/shapes/recipe as ``tests/oracle/torch_oracle.py``) from the
+   REFERENCE's own op module and re-run ``tests/test_parity_goldens.py``
+   against them via the ``DSNT_GOLDEN_PATH`` override; the report records
+   pass/fail so bit-parity vs the real code is one unattended command.
+5. **Published-number re-pin** (SURVEY open item 3) — grep the reference's
    README/docs for PCKh tables and echo every number found next to
    BASELINE.md's recalled thresholds so a human can re-pin them in one look.
 
@@ -211,6 +216,94 @@ def op_parity(ref: str) -> dict:
     return report
 
 
+def regen_goldens_and_rerun_parity(ref: str, goldens_out: str) -> dict:
+    """Step 5 (round-4 verdict item 8): goldens FROM THE REAL OPS + suite.
+
+    Regenerates ``tests/goldens/ops_goldens.npz`` — same seed, same shapes,
+    same recipe as ``tests/oracle/torch_oracle.generate_goldens`` — but with
+    every op taken from the REFERENCE's module instead of our re-derived
+    oracle, then re-runs the full golden parity suite
+    (``tests/test_parity_goldens.py``) against the regenerated file via the
+    ``DSNT_GOLDEN_PATH`` override.  Green means the jnp library matches the
+    actual reference bit-comparably; red pinpoints which op drifted.
+    """
+    mod, name = _import_reference_ops(ref)
+    if mod is None:
+        return {"status": "reference op module not importable"}
+    import subprocess
+
+    import numpy as np
+    import torch
+
+    def resolve(*names):
+        for n in names:
+            if hasattr(mod, n):
+                return getattr(mod, n)
+        return None
+
+    fns = {
+        "flat_softmax": resolve("flat_softmax"),
+        "dsnt": resolve("dsnt"),
+        "euclidean": resolve("euclidean_losses", "euclidean_loss"),
+        "js": resolve("js_reg_losses", "js_reg_loss"),
+        "kl": resolve("kl_reg_losses", "kl_reg_loss"),
+        "mse": resolve("mse_reg_losses", "mse_reg_loss"),
+        "var": resolve("variance_reg_losses", "variance_reg_loss"),
+        "gauss": resolve("make_gauss"),
+        "avg": resolve("average_loss"),
+    }
+    missing = sorted(k for k, v in fns.items() if v is None)
+    if missing:
+        return {"status": f"reference lacks resolvable ops: {missing}",
+                "module": name}
+
+    try:
+        torch.manual_seed(20260816)  # the oracle recipe, verbatim
+        raw = torch.randn(4, 16, 64, 64, dtype=torch.float32)
+        coords_t = torch.rand(4, 16, 2, dtype=torch.float32) * 1.8 - 0.9
+        mask = (torch.rand(4, 16) > 0.2).float()
+        sigma = 1.0
+        hm = fns["flat_softmax"](raw)
+        pred = fns["dsnt"](hm)
+        euc = fns["euclidean"](pred, coords_t)
+        js = fns["js"](hm, coords_t, sigma)
+        total = fns["avg"](euc + 1.0 * js, mask)
+        raw_g = raw.clone().requires_grad_(True)
+        hm_g = fns["flat_softmax"](raw_g)
+        loss = fns["avg"](
+            fns["euclidean"](fns["dsnt"](hm_g), coords_t)
+            + fns["js"](hm_g, coords_t, sigma), mask)
+        loss.backward()
+        os.makedirs(os.path.dirname(goldens_out) or ".", exist_ok=True)
+        np.savez(
+            goldens_out,
+            raw=raw.numpy(), target_coords=coords_t.numpy(),
+            mask=mask.numpy(), sigma=np.float32(sigma),
+            heatmaps=hm.detach().numpy(), pred_coords=pred.detach().numpy(),
+            euclidean=euc.detach().numpy(), js=js.detach().numpy(),
+            kl=fns["kl"](hm, coords_t, sigma).detach().numpy(),
+            mse_reg=fns["mse"](hm, coords_t, sigma).detach().numpy(),
+            variance=fns["var"](hm, sigma).detach().numpy(),
+            total_loss=total.detach().numpy(),
+            grad_raw=raw_g.grad.numpy(),
+            gauss_rendered=fns["gauss"](coords_t, [64, 64],
+                                        sigma).detach().numpy(),
+        )
+    except Exception:
+        return {"status": "golden regeneration failed", "module": name,
+                "error": traceback.format_exc(limit=3)}
+
+    env = dict(os.environ, DSNT_GOLDEN_PATH=goldens_out,
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_parity_goldens.py",
+         "-q", "--no-header"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    return {"status": "ran", "module": name, "goldens": goldens_out,
+            "parity_suite": {"passed": r.returncode == 0,
+                             "tail": r.stdout.strip().splitlines()[-3:]}}
+
+
 def number_repin(ref: str, files: list[str]) -> dict:
     """Pull every PCKh-looking number out of README/docs for re-pinning."""
     hits = []
@@ -237,6 +330,9 @@ def main() -> int:
     ap.add_argument("--out",
                     default=os.path.join(REPO, "docs",
                                          "reference_closure_report.json"))
+    ap.add_argument("--goldens-out",
+                    default=os.path.join(REPO, "tests", "goldens",
+                                         "ops_goldens_reference.npz"))
     args = ap.parse_args()
 
     report: dict = {"reference": args.reference}
@@ -254,6 +350,8 @@ def main() -> int:
     report["status"] = "mount populated — running closure"
     report["layout"] = layout_diff(cen["files"])
     report["op_parity"] = op_parity(args.reference)
+    report["golden_regen"] = regen_goldens_and_rerun_parity(
+        args.reference, args.goldens_out)
     report["numbers"] = number_repin(args.reference, cen["files"])
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
@@ -261,10 +359,15 @@ def main() -> int:
 
     bad = [k for k, v in report["op_parity"].get("ops", {}).items()
            if v.get("max_abs_dev", 0.0) > 1e-9 or "error" in v]
+    regen = report["golden_regen"]
+    suite_red = (regen.get("status") == "ran"
+                 and not regen["parity_suite"]["passed"])
     print(f"\n# closure: {cen['n_files']} files, "
           f"{len(report['layout']['survey_predicted_but_absent'])} layout "
-          f"gaps, {len(bad)} ops off-parity -> {args.out}", file=sys.stderr)
-    return 1 if bad else 0
+          f"gaps, {len(bad)} ops off-parity, golden suite "
+          f"{'RED' if suite_red else regen.get('status', '?')} -> "
+          f"{args.out}", file=sys.stderr)
+    return 1 if (bad or suite_red) else 0
 
 
 if __name__ == "__main__":
